@@ -1,0 +1,76 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvbs2_tpu.data.ldpc_tables import get_table, validate_table
+from dvbs2_tpu.ops import ldpc
+
+
+@pytest.mark.parametrize("rate", ["3/5", "8/9"])
+def test_table_structure(rate):
+    t = get_table(rate)
+    validate_table(t)
+    exp_groups = {"3/5": 27, "8/9": 40}[rate]
+    assert t.n_groups == exp_groups
+
+
+@pytest.mark.parametrize("rate", ["3/5", "8/9"])
+def test_structs(rate):
+    s = ldpc.build_structs(rate)
+    assert s.vi.shape == (s.q, 360, s.dc)
+    dc = {"3/5": 11, "8/9": 27}[rate]
+    assert s.dc == dc
+    # every info variable index < K, parity edges in [K, N] (incl. dummy)
+    assert s.vi_info.max() < s.K
+    assert s.vi.max() == 16200  # dummy slot
+
+
+@pytest.mark.parametrize("rate", ["3/5", "8/9"])
+def test_encode_zero_syndrome(rate):
+    t = get_table(rate)
+    rng = np.random.RandomState(0)
+    bits = rng.randint(0, 2, (3, t.K)).astype(np.int8)
+    cw = ldpc.encode(jnp.asarray(bits), rate)
+    assert cw.shape == (3, 16200)
+    w = np.asarray(ldpc.syndrome_weight(cw, rate))
+    np.testing.assert_array_equal(w, 0)
+
+
+def test_nonzero_syndrome_detects_errors():
+    rate = "8/9"
+    t = get_table(rate)
+    bits = jnp.zeros((1, t.K), jnp.int8)
+    cw = np.array(ldpc.encode(bits, rate))
+    cw[0, 7] ^= 1
+    assert int(ldpc.syndrome_weight(jnp.asarray(cw), rate)[0]) > 0
+
+
+@pytest.mark.parametrize("rate,implem", [("8/9", "SPA"), ("8/9", "NMS"),
+                                         ("3/5", "MS")])
+def test_decode_corrects_awgn(rate, implem):
+    """Codeword + AWGN at a comfortable SNR decodes to zero errors."""
+    t = get_table(rate)
+    rng = np.random.RandomState(1)
+    bits = rng.randint(0, 2, (4, t.K)).astype(np.int8)
+    cw = np.array(ldpc.encode(jnp.asarray(bits), rate))
+    # BPSK + AWGN, Eb/N0 comfortable (~4 dB above threshold)
+    rate_f = t.K / 16200
+    ebn0_db = {"8/9": 6.5, "3/5": 4.5}[rate]
+    sigma = float(np.sqrt(1.0 / (2 * rate_f * 10 ** (ebn0_db / 10))))
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    y = x + sigma * rng.randn(*x.shape).astype(np.float32)
+    llr = 2.0 * y / sigma**2
+    post = ldpc.decode(jnp.asarray(llr), rate, n_ite=20, implem=implem,
+                       norm_factor=0.85 if implem == "NMS" else 1.0)
+    hard = np.asarray(ldpc.hard_decision(post))
+    np.testing.assert_array_equal(hard[:, :t.K], bits)
+
+
+def test_decode_is_jittable():
+    rate = "8/9"
+    t = get_table(rate)
+    llr = jnp.ones((2, 16200), jnp.float32)
+    f = jax.jit(lambda x: ldpc.decode(x, rate, n_ite=2))
+    out = f(llr)
+    assert out.shape == (2, 16200)
