@@ -1,0 +1,55 @@
+"""Headline benchmark: decoded info throughput of the baseband Monte-Carlo
+chain (the reference's `dvbs2_tx_rx_bb` equivalent), QPSK-S_8/9, NMS-10,
+Eb/N0 = 4.0 dB, on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 24.5 Mb/s — the reference's BB sim throughput on its multi-core
+x86 host (refs/TX_RX_BB/QPSK_8_9.txt:41, SPA-50; see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MBPS = 24.5
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    from dvbs2_tpu.config import Config
+    from dvbs2_tpu.chains.txrx_bb import jit_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    n_rep = int(os.environ.get("BENCH_REPS", "10"))
+    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10)
+    fn = jit_step(cfg, batch)
+    sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
+    key = jax.random.key(0)
+
+    # compile + warmup
+    r = fn(key, sigma)
+    r.be.block_until_ready()
+
+    t0 = time.perf_counter()
+    be = fe = 0
+    for i in range(n_rep):
+        r = fn(jax.random.fold_in(key, i), sigma)
+    r.be.block_until_ready()
+    dt = time.perf_counter() - t0
+    mbps = n_rep * batch * cfg.K_bch / dt / 1e6
+
+    print(json.dumps({
+        "metric": "bb_chain_info_throughput_qpsk89_nms10",
+        "value": round(mbps, 3),
+        "unit": "Mb/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

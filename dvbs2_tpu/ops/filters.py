@@ -1,0 +1,192 @@
+"""Filters and sample-stream impairments, TPU-native.
+
+Equivalents of the reference's Filter/Multiplier module families
+(SURVEY.md §2 rows 7-17):
+  - RRC taps:          Filter_RRC_ccr_naive.cpp:14-48 (closed form, unit energy)
+  - streaming FIR:     Filter_FIR_ccr (stateful history across calls)
+  - UPRRC shaping:     Filter_UPFIR_ccr_naive.cpp:5-66 (polyphase upsampler)
+  - Farrow frac delay: Filter_Farrow_ccr_naive.hxx:8-20 (piecewise parabolic)
+  - integer delay:     Variable_delay_cc_naive.hxx:8-19
+  - frame delay:       Filter_buffered_delay.cpp:24-38
+  - NCO / CFO mixer:   Multiplier_sine_ccc_naive.cpp:14-120 (nu quantized to
+                       1e-6, phase index wraps at 1e6 — phase-continuous)
+  - AGC:               Multiplier_AGC_cc_naive.cpp:23-46
+  - fading sequence:   Multiplier_fading_DVBS2.cpp:12-56
+
+TPU-native design: everything here is feedforward, so a "stateful stream
+filter" is a convolution over [carry | block] with the last taps-1 samples
+carried between calls — XLA lowers the grouped conv to MXU/VPU ops; there is
+no per-sample loop anywhere. Streams are (B, N, 2) split re/im arrays (B
+parallel streams; for the sequential full-chain channel B=1 and N covers the
+whole frame batch).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# taps
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def rrc_taps(rolloff: float = 0.2, osf: int = 2, grp_delay: int = 20) -> np.ndarray:
+    """Root-raised-cosine taps, unit energy (2*grp_delay*osf + 1 taps).
+
+    Matches the closed form of Filter_RRC_ccr_naive::compute_rrc_coefs.
+    """
+    n = grp_delay * osf
+    taps = np.zeros(2 * n + 1)
+    taps[n] = 1.0 - rolloff + 4.0 * rolloff / np.pi
+    for i in range(1, n + 1):
+        t = i / osf
+        if abs(4.0 * rolloff * t - 1.0) < 1e-12 or abs(4.0 * rolloff * t + 1.0) < 1e-12:
+            v = rolloff / np.sqrt(2.0) * (
+                (1.0 + 2.0 / np.pi) * np.sin(np.pi / (4.0 * rolloff))
+                + (1.0 - 2.0 / np.pi) * np.cos(np.pi / (4.0 * rolloff)))
+        else:
+            num = (np.sin(np.pi * t * (1.0 - rolloff))
+                   + 4.0 * rolloff * t * np.cos(np.pi * t * (1.0 + rolloff)))
+            den = np.pi * t * (1.0 - 16.0 * rolloff**2 * t**2)
+            v = num / den
+        taps[n + i] = v
+        taps[n - i] = v
+    return (taps / np.sqrt(np.sum(taps**2))).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# streaming FIR (complex data, real taps)
+# ---------------------------------------------------------------------------
+
+def fir_init(n_taps: int, batch: int = 1) -> jnp.ndarray:
+    """Zero history carry: (B, n_taps-1, 2)."""
+    return jnp.zeros((batch, n_taps - 1, 2), jnp.float32)
+
+
+def fir(x: jnp.ndarray, taps: np.ndarray,
+        state: Optional[jnp.ndarray] = None):
+    """Causal streaming FIR over (B, N, 2): y[n] = sum_k h[k] x[n-k].
+
+    Returns (y, new_state). With the default zero state this matches the
+    reference's first-call behavior (history buffer initialized to 0,
+    Filter_FIR_ccr.cpp:69-141).
+    """
+    B, N, _ = x.shape
+    T = len(taps)
+    if state is None:
+        state = fir_init(T, B)
+    ext = jnp.concatenate([state, x], axis=1)            # (B, N+T-1, 2)
+    # grouped conv: channels (re, im) filtered independently by the same taps
+    lhs = ext.transpose(0, 2, 1)                         # (B, 2, N+T-1)
+    rhs = jnp.broadcast_to(jnp.asarray(taps[::-1].copy(), jnp.float32),
+                           (2, 1, T))
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID", feature_group_count=2,
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    new_state = ext[:, -(T - 1):] if T > 1 else state
+    return y.transpose(0, 2, 1), new_state
+
+
+def upfir(x: jnp.ndarray, taps: np.ndarray, osf: int,
+          state: Optional[jnp.ndarray] = None):
+    """Polyphase upsampling FIR (the UPRRC shaping filter): (B, N, 2) ->
+    (B, N*osf, 2). Equivalent to upsample-by-osf then FIR (zero-stuffed),
+    implemented with lhs dilation so XLA keeps it dense."""
+    B, N, _ = x.shape
+    T = len(taps)
+    n_hist = (T + osf - 1) // osf  # history in input samples
+    if state is None:
+        state = jnp.zeros((B, n_hist, 2), jnp.float32)
+    ext = jnp.concatenate([state, x], axis=1)
+    lhs = ext.transpose(0, 2, 1)
+    rhs = jnp.broadcast_to(jnp.asarray(taps[::-1].copy(), jnp.float32),
+                           (2, 1, T))
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID", lhs_dilation=(osf,),
+        feature_group_count=2, dimension_numbers=("NCH", "OIH", "NCH"))
+    # dilated length = (N + n_hist - 1)*osf + 1; take the last N*osf aligned
+    y = y.transpose(0, 2, 1)
+    start = n_hist * osf - (T - 1)
+    y = jax.lax.dynamic_slice_in_dim(y, start + (T - 1), N * osf, axis=1)
+    new_state = ext[:, -n_hist:]
+    return y, new_state
+
+
+def farrow_taps(mu) -> jnp.ndarray:
+    """4 piecewise-parabolic coefficients b(mu) (Filter_Farrow_ccr_naive
+    ::set_mu): applied to x[n-3..n] to interpolate at fractional delay."""
+    mu = jnp.asarray(mu, jnp.float32)
+    half_mu = 0.5 * mu
+    half_mu_sq = half_mu * mu
+    b0 = half_mu_sq - half_mu
+    b1 = 1.0 - half_mu - half_mu_sq
+    b2 = mu + half_mu - half_mu_sq
+    return jnp.stack([b0, b1, b2, b0])
+
+
+def fractional_delay(x: jnp.ndarray, mu,
+                     state: Optional[jnp.ndarray] = None):
+    """Farrow fractional delay of a (B, N, 2) stream by ``mu`` in [0,1)."""
+    B = x.shape[0]
+    if state is None:
+        state = jnp.zeros((B, 3, 2), jnp.float32)
+    b = farrow_taps(mu)
+    ext = jnp.concatenate([state, x], axis=1)
+    # y[n] = b0 x[n-3] + b1 x[n-2] + b2 x[n-1] + b3 x[n]
+    y = (b[0] * ext[:, :-3] + b[1] * ext[:, 1:-2]
+         + b[2] * ext[:, 2:-1] + b[3] * ext[:, 3:])
+    return y, ext[:, -3:]
+
+
+def integer_delay(x: jnp.ndarray, delay: int,
+                  state: Optional[jnp.ndarray] = None):
+    """Delay a (B, N, 2) stream by ``delay`` samples (static)."""
+    if delay == 0:
+        return x, state
+    B = x.shape[0]
+    if state is None:
+        state = jnp.zeros((B, delay, 2), jnp.float32)
+    ext = jnp.concatenate([state, x], axis=1)
+    return ext[:, :x.shape[1]], ext[:, x.shape[1]:]
+
+
+class NcoState(NamedTuple):
+    n: jnp.ndarray  # () float32 phase index
+
+
+def quantize_nu(nu: float) -> float:
+    """The reference quantizes nu to 1e-6 so the 1e6 index wrap is
+    phase-continuous (Multiplier_sine_ccc_naive.cpp:14-22)."""
+    return float(np.floor(nu * 1e6) / 1e6)
+
+
+def cfo_mix(x: jnp.ndarray, nu: float, state: Optional[NcoState] = None,
+            conj: bool = False):
+    """Multiply a (B, N, 2) stream by e^{+j 2 pi nu n} (e^{-...} if conj),
+    with the persistent sample index carried in ``state``."""
+    from dvbs2_tpu.ops import cplx
+    if state is None:
+        state = NcoState(n=jnp.float32(0.0))
+    nu_q = quantize_nu(nu)
+    omega = 2.0 * np.pi * nu_q
+    N = x.shape[1]
+    n = jnp.mod(state.n + jnp.arange(N, dtype=jnp.float32), 1e6)
+    phase = omega * n
+    rot = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-1)[None]
+    if conj:
+        rot = jnp.stack([rot[..., 0], -rot[..., 1]], axis=-1)
+    return cplx.mul(x, rot), NcoState(n=jnp.mod(state.n + N, 1e6))
+
+
+def agc(x: jnp.ndarray, output_energy: float = 1.0) -> jnp.ndarray:
+    """Normalize each (B, N, 2) block: y = x * sqrt(E_out) / std(x), with the
+    mean-removed complex std (Multiplier_AGC_cc_naive.cpp:23-46)."""
+    from dvbs2_tpu.ops import cplx
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(cplx.abs2(x - mean), axis=1)[..., None, None]
+    return x * (np.sqrt(output_energy) / jnp.sqrt(var))

@@ -3,27 +3,25 @@
 Equivalent of aff3ct's ``LDPC_DVBS2`` IRA encoder + ``BP_HORIZONTAL_LAYERED``
 decoder with SPA/MS/NMS update rules and the INTER SIMD strategy (reference:
 src/common/Factory/DVBS2/DVBS2.cpp:418-449, CLI at :87-89) — re-designed for
-TPU rather than translated:
+TPU rather than translated.
 
 Structure. DVB-S2 codes are quasi-cyclic IRA: info bit m of group g connects
 to parity checks (a + m*q) mod (N-K) for each address a of the group's table
 row, and the parity part is an accumulator chain (dual diagonal). Checks
-split into q layers {c : c mod q == r} of 360 independent checks; within a
-layer every info edge comes from a distinct (group, address) pair, so a layer
-updates as one dense (360, dc, F) block:
+split into q layers {c : c mod q == r} of 360 independent checks.
 
-  encoder  — pre-parity accumulation is, per (g, a), a cyclic shift of the
-             group's 360 bits: gathered with static indices and XOR-reduced;
-             the accumulator chain is a cumulative-XOR (log-depth cumsum mod 2).
-  decoder  — grouped-layered BP: per layer, gather posteriors with STATIC
-             index tables, subtract stored check->var messages, apply the
-             update rule (SPA via the phi involution / min-sum two-min),
-             scatter-add the deltas back. The frame batch F rides the last
-             (lane) axis — exactly the reference's INTER strategy
-             ("vectorize across F frames") mapped onto the VPU.
+Key identity: within layer r, the info edge from table entry (g, a) with
+a mod q == r connects check t (= (c-r)/q) to variable (g, (t - a//q) mod 360)
+— i.e. the layer sees group g's 360 posteriors CYCLICALLY ROLLED by a//q.
+With addresses distinct mod q within each row (guaranteed by our tables),
+every layer touches each group at most once, so a full layer update is:
 
-Messages live in (q, 360, dc, F) f32; all index tables are compile-time
-constants so XLA lowers gathers/scatters to static slices where possible.
+    roll -> subtract R -> check-update (phi/two-min over dc) -> write back
+
+pure static rolls and elementwise VPU math on (360, F) blocks — NO gathers,
+NO scatters, no write conflicts. The frame batch F rides the lane axis
+(the reference's INTER strategy mapped onto the VPU). The encoder is a
+static-gather XOR accumulation + cumulative-XOR accumulator (log-depth scan).
 """
 from __future__ import annotations
 
@@ -39,18 +37,22 @@ from dvbs2_tpu.data.ldpc_tables import GROUP, LdpcTable, N_LDPC, get_table
 
 @dataclasses.dataclass(frozen=True)
 class LdpcStructs:
-    """Static per-rate index structures shared by encoder and decoder."""
+    """Static per-rate structures shared by encoder and decoder."""
     K: int
     q: int
-    dc: int                  # uniform check degree (info edges + 2 parity edges)
-    vi: np.ndarray           # (q, 360, dc) int32: variable index per edge;
-                             # dummy index N_LDPC for check 0's missing p_{-1}
-    vi_info: np.ndarray      # (q, 360, dc-2) int32: info-edge variables only
-    layer_check: np.ndarray  # (q, 360) int32: global check index c = r + q*t
+    dc: int                   # uniform check degree (info + 2 parity edges)
+    layer_groups: np.ndarray  # (q, dc-2) int32: group id per layer info edge
+    layer_shifts: np.ndarray  # (q, dc-2) int32: cyclic shift (a // q)
+    vi_info: np.ndarray       # (q, 360, dc-2) int32: info-edge variable index
+    layer_check: np.ndarray   # (q, 360) int32: global check index c = r + q*t
 
     @property
     def NmK(self) -> int:
         return N_LDPC - self.K
+
+    @property
+    def n_groups(self) -> int:
+        return self.K // GROUP
 
 
 @functools.lru_cache(maxsize=None)
@@ -60,30 +62,29 @@ def build_structs(rate: str) -> LdpcStructs:
     d_info = t.n_info_edges // NmK          # info edges per check (uniform)
     dc = d_info + 2
 
-    # per-layer info edges: for residue r, every table entry (g, a) with
-    # a % q == r contributes variable g*360 + ((c - a)/q mod 360) to check c.
     ts = np.arange(GROUP)
+    layer_groups = np.zeros((q, d_info), dtype=np.int32)
+    layer_shifts = np.zeros((q, d_info), dtype=np.int32)
     vi_info = np.zeros((q, GROUP, d_info), dtype=np.int32)
     layer_check = np.zeros((q, GROUP), dtype=np.int32)
     for r in range(q):
-        c = r + q * ts                      # (360,) global check indices
+        c = r + q * ts
         layer_check[r] = c
         e = 0
         for g, row in enumerate(t.rows):
             for a in row:
                 if a % q != r:
                     continue
-                m = ((c - a) // q) % GROUP
-                vi_info[r, :, e] = g * GROUP + m
+                layer_groups[r, e] = g
+                layer_shifts[r, e] = a // q
+                vi_info[r, :, e] = g * GROUP + ((ts - a // q) % GROUP)
                 e += 1
         assert e == d_info
-    # parity edges: p_c (var K+c) and p_{c-1} (var K+c-1); dummy for c==0.
-    p_self = (K + layer_check).astype(np.int32)
-    p_prev = (K + layer_check - 1).astype(np.int32)
-    p_prev[layer_check == 0] = N_LDPC       # dummy slot, pinned to +BIG LLR
-    vi = np.concatenate([vi_info, p_self[..., None], p_prev[..., None]],
-                        axis=-1).astype(np.int32)
-    return LdpcStructs(K=K, q=q, dc=dc, vi=vi, vi_info=vi_info,
+        # roll-based layer updates need each group at most once per layer
+        assert len(set(layer_groups[r, :e].tolist())) == e, (
+            "table row has duplicate residues mod q; roll path unavailable")
+    return LdpcStructs(K=K, q=q, dc=dc, layer_groups=layer_groups,
+                       layer_shifts=layer_shifts, vi_info=vi_info,
                        layer_check=layer_check)
 
 
@@ -94,9 +95,7 @@ def build_structs(rate: str) -> LdpcStructs:
 def encode(bits: jnp.ndarray, rate: str) -> jnp.ndarray:
     """(F, K) info bits -> (F, N) codeword (IRA accumulator parity)."""
     s = build_structs(rate)
-    F = bits.shape[0]
     # pre-parity: XOR of info bits feeding each check, gathered statically.
-    # vi_info as (q*360, d_info) index into (F, K).
     gathered = bits[:, jnp.asarray(s.vi_info.reshape(-1, s.dc - 2))]
     pre = jnp.sum(gathered.astype(jnp.int32), axis=-1) % 2      # (F, q*360)
     # reorder (r, t) -> global check index c = r + q*t
@@ -110,17 +109,20 @@ def encode(bits: jnp.ndarray, rate: str) -> jnp.ndarray:
 def syndrome_weight(cw: jnp.ndarray, rate: str) -> jnp.ndarray:
     """(F, N) codeword -> (F,) number of unsatisfied checks (0 == valid)."""
     s = build_structs(rate)
-    ext = jnp.concatenate(
-        [cw.astype(jnp.int32), jnp.zeros((cw.shape[0], 1), jnp.int32)], axis=-1)
-    vals = ext[:, jnp.asarray(s.vi.reshape(-1, s.dc))]
-    return jnp.sum(jnp.sum(vals, axis=-1) % 2, axis=-1)
+    info = cw[:, :s.K].astype(jnp.int32)
+    par = cw[:, s.K:].astype(jnp.int32)
+    acc = info[:, jnp.asarray(s.vi_info.reshape(-1, s.dc - 2))].sum(-1)
+    order = np.argsort(s.layer_check.reshape(-1), kind="stable")
+    acc = acc[:, jnp.asarray(order.astype(np.int32))]           # (F, NmK), c order
+    prev = jnp.pad(par[:, :-1], ((0, 0), (1, 0)))
+    return jnp.sum((acc + par + prev) % 2, axis=-1)
 
 
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
-_BIG = jnp.float32(1e9)     # dummy-variable LLR (absorbing, phi(BIG) ~ 0)
+_BIG = 1e9          # absorbing LLR for the missing p_{-1} edge of check 0
 _PHI_MIN = 1e-9
 _PHI_MAX = 30.0
 
@@ -131,65 +133,89 @@ def _phi(x):
     return -jnp.log(jnp.tanh(0.5 * x))
 
 
+def _check_update(Lq: jnp.ndarray, implem: str, alpha: float):
+    """(dc, 360, F) extrinsic inputs -> (dc, 360, F) new check->var messages."""
+    sign = jnp.where(Lq < 0, -1.0, 1.0).astype(jnp.float32)
+    mag_in = jnp.abs(Lq)
+    sign_out = jnp.prod(sign, axis=0, keepdims=True) * sign
+    if implem == "SPA":
+        phi = _phi(mag_in)
+        tot = jnp.sum(phi, axis=0, keepdims=True)
+        mag = _phi(tot - phi)
+    else:
+        m1 = jnp.min(mag_in, axis=0, keepdims=True)
+        m2 = jnp.min(jnp.where(mag_in == m1, jnp.inf, mag_in), axis=0,
+                     keepdims=True)
+        is_min = (mag_in == m1) & (jnp.cumsum(
+            (mag_in == m1).astype(jnp.int32), axis=0) == 1)
+        mag = jnp.where(is_min, m2, m1)
+        if implem == "NMS":
+            mag = jnp.float32(alpha) * mag
+    return sign_out * mag
+
+
 def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
-           norm_factor: float = 1.0) -> jnp.ndarray:
+           norm_factor: float = 0.875) -> jnp.ndarray:
     """(F, N) channel LLRs (positive => bit 0) -> (F, N) posterior LLRs.
 
-    Grouped-layered BP; ``implem`` in {SPA, MS, NMS} mirroring the
-    reference's --dec-implem choices (DVBS2.cpp:88).
+    Grouped-layered BP with roll-only layer updates; ``implem`` in
+    {SPA, MS, NMS} mirroring the reference's --dec-implem (DVBS2.cpp:88).
     """
     s = build_structs(rate)
     F, N = llr.shape
     assert N == N_LDPC
-    vi = jnp.asarray(s.vi)                              # (q, 360, dc)
-    vi_flat = jnp.asarray(s.vi.reshape(s.q, -1))        # (q, 360*dc)
+    G, q, dc, d_info = s.n_groups, s.q, s.dc, s.dc - 2
 
-    # posteriors: (N+1, F) with dummy slot last; F on lanes.
-    L0 = jnp.concatenate([llr.T.astype(jnp.float32),
-                          jnp.full((1, F), _BIG)], axis=0)
-    R0 = jnp.zeros((s.q, GROUP, s.dc, F), jnp.float32)  # check->var messages
+    lt = llr.T.astype(jnp.float32)                       # (N, F)
+    L_info0 = lt[:s.K].reshape(G, GROUP, F)
+    # parity plane [r, t] = LLR of p_{r + q t}
+    L_par0 = lt[s.K:].reshape(GROUP, q, F).transpose(1, 0, 2)
+    R0 = jnp.zeros((q, dc, GROUP, F), jnp.float32)
 
-    alpha = jnp.float32(norm_factor)
+    groups = s.layer_groups
+    shifts = s.layer_shifts
 
-    def layer_update(Lq_abs, Lq_sign):
-        """check update on (360, dc, F) magnitudes/signs -> new |R| and sign."""
-        sign_tot = jnp.prod(Lq_sign, axis=1, keepdims=True)
-        sign_out = sign_tot * Lq_sign                  # product excluding self
-        if implem == "SPA":
-            phi = _phi(Lq_abs)
-            tot = jnp.sum(phi, axis=1, keepdims=True)
-            mag = _phi(tot - phi)
-        else:  # MS / NMS two-min
-            m1 = jnp.min(Lq_abs, axis=1, keepdims=True)
-            big = jnp.where(Lq_abs == m1, jnp.inf, Lq_abs)
-            m2 = jnp.min(big, axis=1, keepdims=True)
-            is_min = (Lq_abs == m1) & (jnp.cumsum(
-                (Lq_abs == m1).astype(jnp.int32), axis=1) == 1)
-            mag = jnp.where(is_min, m2, m1)
-            if implem == "NMS":
-                mag = alpha * mag
-        return mag, sign_out
+    def one_layer(r, L_info, L_par, R):
+        Lq = []
+        for e in range(d_info):
+            g, sh = int(groups[r, e]), int(shifts[r, e])
+            Lq.append(jnp.roll(L_info[g], sh, axis=0) - R[r, e])
+        Lq.append(L_par[r] - R[r, d_info])               # p_self
+        if r > 0:
+            prev_in = L_par[r - 1]
+        else:
+            prev_in = jnp.roll(L_par[q - 1], 1, axis=0).at[0].set(_BIG)
+        Lq.append(prev_in - R[r, d_info + 1])            # p_prev
+        Lq = jnp.stack(Lq)                               # (dc, 360, F)
 
-    def one_layer(r, carry):
-        L, R = carry
-        idx = vi_flat[r]                                # (360*dc,)
-        Lpost = L[idx].reshape(GROUP, s.dc, F)
-        Rr = R[r]
-        Lq = Lpost - Rr
-        mag, sign = layer_update(jnp.abs(Lq),
-                                 jnp.where(Lq < 0, -1.0, 1.0).astype(jnp.float32))
-        Rnew = sign * mag
-        delta = (Rnew - Rr).reshape(-1, F)
-        L = L.at[idx].add(delta)
-        L = L.at[N_LDPC].set(_BIG)                      # re-pin dummy slot
+        Rnew = _check_update(Lq, implem, norm_factor)
+        post = Lq + Rnew                                 # updated posteriors
+
+        for e in range(d_info):
+            g, sh = int(groups[r, e]), int(shifts[r, e])
+            L_info = L_info.at[g].set(jnp.roll(post[e], -sh, axis=0))
+        L_par = L_par.at[r].set(post[d_info])
+        if r > 0:
+            L_par = L_par.at[r - 1].set(post[d_info + 1])
+        else:
+            back = jnp.roll(post[d_info + 1], -1, axis=0)
+            # row 359 of the rolled-back block is the dummy head; keep original
+            L_par = L_par.at[q - 1].set(
+                L_par[q - 1].at[:GROUP - 1].set(back[:GROUP - 1]))
         R = R.at[r].set(Rnew)
-        return (L, R)
+        return L_info, L_par, R
 
     def one_iteration(_, carry):
-        return jax.lax.fori_loop(0, s.q, one_layer, carry)
+        L_info, L_par, R = carry
+        for r in range(q):
+            L_info, L_par, R = one_layer(r, L_info, L_par, R)
+        return (L_info, L_par, R)
 
-    L, _ = jax.lax.fori_loop(0, n_ite, one_iteration, (L0, R0))
-    return L[:N_LDPC].T
+    L_info, L_par, _ = jax.lax.fori_loop(0, n_ite, one_iteration,
+                                         (L_info0, L_par0, R0))
+    out_info = L_info.reshape(s.K, F)
+    out_par = L_par.transpose(1, 0, 2).reshape(s.NmK, F)
+    return jnp.concatenate([out_info, out_par], axis=0).T
 
 
 def hard_decision(post_llr: jnp.ndarray) -> jnp.ndarray:

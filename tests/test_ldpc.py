@@ -18,12 +18,13 @@ def test_table_structure(rate):
 @pytest.mark.parametrize("rate", ["3/5", "8/9"])
 def test_structs(rate):
     s = ldpc.build_structs(rate)
-    assert s.vi.shape == (s.q, 360, s.dc)
     dc = {"3/5": 11, "8/9": 27}[rate]
     assert s.dc == dc
-    # every info variable index < K, parity edges in [K, N] (incl. dummy)
     assert s.vi_info.max() < s.K
-    assert s.vi.max() == 16200  # dummy slot
+    assert s.layer_groups.shape == (s.q, dc - 2)
+    # roll-path invariant: each group at most once per layer
+    for r in range(s.q):
+        assert len(set(s.layer_groups[r].tolist())) == dc - 2
 
 
 @pytest.mark.parametrize("rate", ["3/5", "8/9"])
