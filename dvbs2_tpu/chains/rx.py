@@ -1,0 +1,120 @@
+"""Full RX chain: matched filter -> timing recovery -> frame sync -> PL
+descramble -> fine freq/phase sync -> deframe -> demod -> FEC decode.
+
+Equivalent of the reference RX binding (src/mains/TX_RX/main.cpp:200-266 /
+RX/main_sched.cpp:197-223), re-designed as one jitted function over a
+(B, F*L*osf, 2) sample-stream batch with ALL module state in an explicit
+``RxState`` pytree: B independent streams ride the lane axis; per-frame
+modules (frame sync, L&R) advance via ``lax.scan`` over the F frames of the
+block; feedback DSP (Gardner) scans per sample.
+
+Sync mode per Config: perfect_sync=True uses the genie timing (known channel
+delay); otherwise the real Gardner loop runs. Frame sync is always the real
+correlator (it self-aligns, subsuming the genie variant); coarse frequency
+is the frozen derotator (acquisition phases land in a later round — CFO=0
+reference configs need none).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvbs2_tpu.config import Config
+from dvbs2_tpu.ops import bch, cplx, estimator, filters, framer, interleaver
+from dvbs2_tpu.ops import ldpc, modem, scrambler, sync
+
+
+class RxState(NamedTuple):
+    mf: jnp.ndarray                  # matched-filter history
+    gardner: sync.GardnerState
+    timing_frac: jnp.ndarray         # Farrow history (perfect-timing path)
+    extract: sync.ExtractState
+    fsync: sync.FrameSyncState
+    lr: sync.LrState
+    sample_idx: jnp.ndarray          # () int32 stream position
+
+
+def rx_init(cfg: Config, batch: int) -> RxState:
+    L = cfg.pl_frame_size
+    taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
+    return RxState(
+        mf=filters.fir_init(len(taps), batch),
+        gardner=sync.gardner_init(batch, cfg.shp_osf),
+        timing_frac=jnp.zeros((batch, 3, 2), jnp.float32),
+        extract=sync.extract_init(batch, cap=4 * cfg.shp_osf * L),
+        fsync=sync.frame_sync_init(batch, L),
+        lr=sync.lr_init(batch),
+        sample_idx=jnp.int32(0),
+    )
+
+
+def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
+              n_frames: int):
+    """Process a (B, n_frames*L*osf, 2) sample stream; decode n_frames.
+
+    Returns (bits (B, n_frames, K_bch), flags dict, new RxState).
+    """
+    B, N_samp, _ = x.shape
+    L = cfg.pl_frame_size
+    assert N_samp == n_frames * L * cfg.shp_osf
+    taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
+
+    # AGC (Multiplier_AGC_cc_naive; unit energy at symbol rate => 1/osf per
+    # sample, but the reference normalizes the block to unit energy and the
+    # constellation scale is absorbed by the blind SNR estimator downstream)
+    y = filters.agc(x, output_energy=1.0 / cfg.shp_osf)
+
+    # matched filter
+    y, mf_state = filters.fir(y, taps, state.mf)
+
+    # timing recovery
+    if cfg.perfect_sync:
+        y, strobe, frac_state = sync.timing_perfect(
+            y, cfg.chn_max_delay, cfg.shp_osf, state.timing_frac)
+        gstate = state.gardner
+    else:
+        y, strobe, gstate = sync.gardner_scan(y, cfg, state.gardner)
+        frac_state = state.timing_frac
+
+    # strobed-symbol extraction -> (B, n_frames, L, 2)
+    syms, ex_state, _uf = sync.extract_strobed(
+        y, strobe, n_frames * L, state.extract)
+    syms = syms.reshape(B, n_frames, L, 2)
+
+    # per-frame stages with carried state: frame sync + L&R
+    def per_frame(carry, frame):
+        fs, lr = carry
+        aligned, delay, flag, metric, fs = sync.frame_sync(frame, cfg, fs)
+        descr = scrambler.pl_scramble(aligned, descramble=True)
+        derot, f_lr, lr = sync.lr_fine_freq(descr, cfg, lr)
+        fine, _f, _p = sync.phase_freq_fine(derot, cfg)
+        return (fs, lr), (fine, delay, flag)
+
+    frames_t = syms.transpose(1, 0, 2, 3)            # (F, B, L, 2)
+    (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
+        per_frame, (state.fsync, state.lr), frames_t)
+    fine = fine.transpose(1, 0, 2, 3).reshape(B * n_frames, L, 2)
+
+    # PLH/pilot removal + demod + decode (flat batch B*n_frames)
+    xfec = framer.deframe(fine, cfg.modcod)
+    if cfg.est_type == "PERFECT":
+        sg = jnp.broadcast_to(jnp.asarray(sigma_true, jnp.float32),
+                              (xfec.shape[0], 1))
+    else:
+        sg = estimator.estimate_sigma(xfec)
+    llr = modem.demodulate(xfec, sg, cfg.mod)
+    llr = interleaver.deinterleave(llr, cfg.itl_n_cols, cfg.read_order)
+    post = ldpc.decode(llr, cfg.cod, n_ite=cfg.ldpc_nite,
+                       implem=cfg.ldpc_implem,
+                       norm_factor=cfg.ldpc_norm_factor)
+    hard = ldpc.hard_decision(post)[:, :cfg.N_bch]
+    info, _ok = bch.decode(hard, cfg.K_bch)
+    bits = scrambler.bb_scramble(info).reshape(B, n_frames, cfg.K_bch)
+
+    new_state = RxState(mf=mf_state, gardner=gstate, timing_frac=frac_state,
+                        extract=ex_state, fsync=fs_state, lr=lr_state,
+                        sample_idx=state.sample_idx + N_samp)
+    return bits, {"delay": delays.T, "flag": flags.T}, new_state

@@ -53,7 +53,7 @@ class Config:
     # LDPC decoder (reference: DVBS2.cpp:87-89,418-449)
     ldpc_nite: int = 50
     ldpc_implem: str = "SPA"          # SPA | MS | NMS
-    ldpc_norm_factor: float = 1.0     # NMS normalization (aff3ct --dec-norm default)
+    ldpc_norm_factor: float = 0.875   # NMS normalization factor
     # estimator / sync genie toggles
     est_type: str = "DVBS2"           # DVBS2 | PERFECT
     perfect_sync: bool = False

@@ -106,13 +106,13 @@ def upfir(x: jnp.ndarray, taps: np.ndarray, osf: int,
     lhs = ext.transpose(0, 2, 1)
     rhs = jnp.broadcast_to(jnp.asarray(taps[::-1].copy(), jnp.float32),
                            (2, 1, T))
+    # causal conv over the zero-stuffed stream: pad T-1 left (history zeros
+    # before the dilated signal) and osf-1 right (trailing stuffed zeros)
     y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID", lhs_dilation=(osf,),
-        feature_group_count=2, dimension_numbers=("NCH", "OIH", "NCH"))
-    # dilated length = (N + n_hist - 1)*osf + 1; take the last N*osf aligned
-    y = y.transpose(0, 2, 1)
-    start = n_hist * osf - (T - 1)
-    y = jax.lax.dynamic_slice_in_dim(y, start + (T - 1), N * osf, axis=1)
+        lhs, rhs, window_strides=(1,), padding=[(T - 1, osf - 1)],
+        lhs_dilation=(osf,), feature_group_count=2,
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    y = y.transpose(0, 2, 1)[:, n_hist * osf:]
     new_state = ext[:, -n_hist:]
     return y, new_state
 

@@ -97,15 +97,41 @@ def _frame_template(modcod: str) -> np.ndarray:
     return tmpl
 
 
+@functools.lru_cache(maxsize=None)
+def _segments(modcod: str):
+    """Static (data_start, data_len, pl_start) runs of contiguous data symbols.
+
+    Framing/deframing is pure slicing + concatenation — a gather over an
+    (N, 2)-shaped array would pad 64x on TPU (2 of 128 lanes used).
+    """
+    cfg = Config(modcod=modcod)
+    segs = []
+    data_start, pl_start = 0, M_SLOT
+    for _ in range(cfg.n_pilots):
+        segs.append((data_start, 16 * M_SLOT, pl_start))
+        data_start += 16 * M_SLOT
+        pl_start += 16 * M_SLOT + P_PILOT
+    segs.append((data_start, cfg.N_xfec_frame - data_start, pl_start))
+    return tuple(segs)
+
+
 def frame(xfec: jnp.ndarray, modcod: str) -> jnp.ndarray:
     """(F, N_xfec, 2) re/im symbols -> (F, pl_frame_size, 2) PL frames."""
     from dvbs2_tpu.ops import cplx
-    tmpl = jnp.asarray(cplx.from_np(_frame_template(modcod)))
-    pos = jnp.asarray(data_positions(modcod))
-    out = jnp.broadcast_to(tmpl, xfec.shape[:-2] + tmpl.shape)
-    return out.at[..., pos, :].set(xfec)
+    tmpl = cplx.from_np(_frame_template(modcod))
+    lead = xfec.shape[:-2]
+    pieces = [jnp.broadcast_to(jnp.asarray(tmpl[:M_SLOT]), lead + (M_SLOT, 2))]
+    pilot = tmpl[M_SLOT + 16 * M_SLOT:M_SLOT + 16 * M_SLOT + P_PILOT]
+    cfg_npilots = len(_segments(modcod)) - 1
+    for i, (ds, dl, _) in enumerate(_segments(modcod)):
+        pieces.append(xfec[..., ds:ds + dl, :])
+        if i < cfg_npilots:
+            pieces.append(jnp.broadcast_to(jnp.asarray(pilot),
+                                           lead + (P_PILOT, 2)))
+    return jnp.concatenate(pieces, axis=-2)
 
 
 def deframe(pl: jnp.ndarray, modcod: str) -> jnp.ndarray:
     """(F, pl_frame_size, 2) -> (F, N_xfec, 2): strip PLH + pilots."""
-    return pl[..., jnp.asarray(data_positions(modcod)), :]
+    return jnp.concatenate(
+        [pl[..., ps:ps + dl, :] for (_, dl, ps) in _segments(modcod)], axis=-2)

@@ -32,12 +32,24 @@ def permutation(n: int, n_cols: int, read_order: str) -> np.ndarray:
 
 
 def interleave(bits: jnp.ndarray, n_cols: int, read_order: str) -> jnp.ndarray:
-    pi = jnp.asarray(permutation(bits.shape[-1], n_cols, read_order))
-    return bits[..., pi]
+    if n_cols == 1:
+        return bits
+    n = bits.shape[-1]
+    n_rows = n // n_cols
+    # out[r*n_cols + j] = in[cols[j]*n_rows + r]: reshape/transpose, no gather
+    x = bits.reshape(bits.shape[:-1] + (n_cols, n_rows))
+    if read_order == "TOP_RIGHT":
+        x = jnp.flip(x, axis=-2)
+    return jnp.swapaxes(x, -1, -2).reshape(bits.shape[:-1] + (n,))
 
 
 def deinterleave(llrs: jnp.ndarray, n_cols: int, read_order: str) -> jnp.ndarray:
-    pi = permutation(llrs.shape[-1], n_cols, read_order)
-    inv = np.empty_like(pi)
-    inv[pi] = np.arange(pi.size, dtype=np.int32)
-    return llrs[..., jnp.asarray(inv)]
+    if n_cols == 1:
+        return llrs
+    n = llrs.shape[-1]
+    n_rows = n // n_cols
+    x = llrs.reshape(llrs.shape[:-1] + (n_rows, n_cols))
+    x = jnp.swapaxes(x, -1, -2)
+    if read_order == "TOP_RIGHT":
+        x = jnp.flip(x, axis=-2)
+    return x.reshape(llrs.shape[:-1] + (n,))

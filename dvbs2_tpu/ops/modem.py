@@ -30,13 +30,19 @@ def _bit_masks(bps: int) -> np.ndarray:
 
 
 def modulate(bits: jnp.ndarray, mod: str) -> jnp.ndarray:
-    """(..., N) bits -> (..., N/bps, 2) re/im symbols."""
+    """(..., N) bits -> (..., N/bps, 2) re/im symbols.
+
+    One-hot x constellation matmul rather than a table gather: gathers into
+    a (2^bps, 2) table force a 64x-padded layout on TPU (the last axis of 2
+    occupies 2 of 128 lanes); the tiny matmul fuses cleanly instead.
+    """
     cstl = jnp.asarray(cplx.from_np(get_constellation(mod)))   # (2^bps, 2)
     bps = _BPS[mod]
     b = bits.reshape(bits.shape[:-1] + (-1, bps)).astype(jnp.int32)
     weights = jnp.asarray(2 ** np.arange(bps - 1, -1, -1), dtype=jnp.int32)
     idx = jnp.sum(b * weights, axis=-1)
-    return cstl[idx]
+    onehot = jax.nn.one_hot(idx, 1 << bps, dtype=jnp.float32)
+    return jnp.einsum("...k,kc->...c", onehot, cstl)
 
 
 def demodulate(y: jnp.ndarray, sigma: jnp.ndarray, mod: str,

@@ -1,0 +1,430 @@
+"""RX synchronization chain, TPU-native.
+
+Equivalents of the reference's Synchronizer_* family (SURVEY.md §2 rows
+18-26). Feedback-loop DSP (Gardner, PLLs) is a ``lax.scan`` over time with an
+explicit small carry — per-sample cost is amortized by batching B independent
+sample streams on the lane axis (the reference's INTER strategy applied to
+the sequential part of the chain). Everything feedforward (frame-sync
+correlation, L&R, phase LS fit) is vectorized, no scan.
+
+Genie (PERFECT) variants mirror the reference's test oracles:
+  - timing_perfect:  known channel delay -> fixed strobe pattern + Farrow mu
+                     (Synchronizer_timing_perfect.cpp:14-47)
+  - frame_perfect:   known frame delay -> fixed realignment
+                     (Synchronizer_frame_perfect.cpp:26-53)
+  - coarse_perfect:  derotation by the known CFO
+                     (Synchronizer_freq_coarse_perfect.cpp:22-51)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvbs2_tpu.config import Config
+from dvbs2_tpu.ops import cplx, filters
+
+
+# ---------------------------------------------------------------------------
+# timing recovery — genie
+# ---------------------------------------------------------------------------
+
+class TimingPerfect(NamedTuple):
+    nco0: float
+    mu: float
+
+
+def timing_perfect_params(channel_delay: float, osf: int) -> TimingPerfect:
+    """Strobe phase + Farrow mu for a known channel delay
+    (Synchronizer_timing_perfect ctor)."""
+    frac = channel_delay - np.floor(channel_delay)
+    int_delay = channel_delay - frac + 3.0          # +3 = Farrow buffer delay
+    nco0 = osf - (int(int_delay) % osf)
+    return TimingPerfect(nco0=float(nco0), mu=float(1.0 - frac))
+
+
+def timing_perfect(x: jnp.ndarray, channel_delay: float, osf: int,
+                   frac_state: Optional[jnp.ndarray] = None,
+                   sample_offset: int = 0):
+    """Genie timing sync on a (B, N, 2) stream: Farrow at fixed mu + fixed
+    strobe pattern. Returns (y, strobe(B,N) int8, new_frac_state)."""
+    p = timing_perfect_params(channel_delay, osf)
+    y, st = filters.fractional_delay(x, p.mu, frac_state)
+    n = np.arange(x.shape[1]) + sample_offset
+    strobe = (((p.nco0 + n).astype(np.int64) % osf) == 0).astype(np.int8)
+    strobe = jnp.broadcast_to(jnp.asarray(strobe), x.shape[:2])
+    return y, strobe, st
+
+
+# ---------------------------------------------------------------------------
+# strobed-symbol extraction (Synchronizer_timing.hxx:262-304)
+# ---------------------------------------------------------------------------
+
+class ExtractState(NamedTuple):
+    buf: jnp.ndarray     # (B, cap, 2) carry ring
+    count: jnp.ndarray   # (B,) symbols currently in carry
+
+
+def extract_init(batch: int, cap: int) -> ExtractState:
+    return ExtractState(buf=jnp.zeros((batch, cap, 2), jnp.float32),
+                        count=jnp.zeros((batch,), jnp.int32))
+
+
+def extract_strobed(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
+                    state: ExtractState):
+    """Compact strobed samples of a (B, N, 2) block into exactly ``n_out``
+    symbols per stream, carrying the excess; underflow flag when short
+    (the TPU analogue of the reference's processing_aborted).
+
+    Returns (symbols (B, n_out, 2), new_state, underflow (B,) bool).
+    """
+    B, N, _ = y.shape
+    cap = state.buf.shape[1]
+    # target slot for each strobed sample: carry_count + (#strobes before it)
+    csum = jnp.cumsum(strobe.astype(jnp.int32), axis=1)
+    slots = state.count[:, None] + csum - 1
+    total = state.count + csum[:, -1]
+    # scatter into [carry | workspace] of size cap + N (per re/im plane to
+    # keep TPU layouts dense)
+    work = jnp.concatenate(
+        [state.buf, jnp.zeros((B, N, 2), jnp.float32)], axis=1)
+    dump = cap + N  # out-of-range slot for unstrobed samples
+    idx = jnp.where(strobe > 0, slots, dump)
+    work_r = work[..., 0]
+    work_i = work[..., 1]
+    brow = jnp.arange(B)[:, None]
+    work_r = work_r.at[brow, idx].set(y[..., 0], mode="drop")
+    work_i = work_i.at[brow, idx].set(y[..., 1], mode="drop")
+    work = jnp.stack([work_r, work_i], axis=-1)
+    symbols = work[:, :n_out]
+    underflow = total < n_out
+    # shift the remainder to the front of the carry
+    rem = jnp.clip(total - n_out, 0, cap)
+    shift_idx = jnp.minimum(n_out + jnp.arange(cap)[None, :], cap + N - 1)
+    new_buf = jnp.stack([work_r[brow, shift_idx], work_i[brow, shift_idx]],
+                        axis=-1)
+    mask = (jnp.arange(cap)[None, :] < rem[:, None])[..., None]
+    new_buf = jnp.where(mask, new_buf, 0.0)
+    # on underflow the reference keeps what it has and aborts the iteration;
+    # we keep the partial output and report the flag
+    return symbols, ExtractState(buf=new_buf, count=rem), underflow
+
+
+# ---------------------------------------------------------------------------
+# frame synchronization — genie
+# ---------------------------------------------------------------------------
+
+def frame_perfect(x: jnp.ndarray, frame_delay: int,
+                  state: Optional[jnp.ndarray] = None):
+    """Genie frame sync: realign a (B, N_sym, 2) symbol stream by a fixed
+    delay of N/2 - frame_delay symbols (Synchronizer_frame_perfect ctor)."""
+    N = x.shape[1]
+    d = (N // 2 - frame_delay) % N
+    return filters.integer_delay(x, d, state)
+
+
+# ---------------------------------------------------------------------------
+# coarse frequency — genie
+# ---------------------------------------------------------------------------
+
+def coarse_perfect(x: jnp.ndarray, freq_shift: float,
+                   state: Optional[filters.NcoState] = None):
+    """Derotate by the known CFO (Synchronizer_freq_coarse_perfect)."""
+    return filters.cfo_mix(x, freq_shift, state, conj=True)
+
+
+# ---------------------------------------------------------------------------
+# Gardner timing recovery (Synchronizer_Gardner_fast.cpp:35-132)
+# ---------------------------------------------------------------------------
+
+class GardnerState(NamedTuple):
+    farrow: jnp.ndarray     # (B, 3, 2) last input samples
+    ted_buf: jnp.ndarray    # (B, osf, 2) ring of strobed outputs
+    head: jnp.ndarray       # (B,) int32 ring head
+    mid: jnp.ndarray        # (B,) int32 ring mid
+    history: jnp.ndarray    # (B,) int32 strobe history (osf bits)
+    nco: jnp.ndarray        # (B,) f32 NCO counter
+    lf_prev: jnp.ndarray    # (B,) f32 loop-filter integrator
+    lf_out: jnp.ndarray     # (B,) f32 loop-filter output
+    mu: jnp.ndarray         # (B,) f32 current fractional delay
+
+
+def gardner_init(batch: int, osf: int) -> GardnerState:
+    return GardnerState(
+        farrow=jnp.zeros((batch, 3, 2), jnp.float32),
+        ted_buf=jnp.zeros((batch, osf, 2), jnp.float32),
+        head=jnp.full((batch,), osf - 1, jnp.int32),
+        mid=jnp.full((batch,), (osf - 1 - osf // 2) % osf, jnp.int32),
+        history=jnp.zeros((batch,), jnp.int32),
+        nco=jnp.zeros((batch,), jnp.float32),
+        lf_prev=jnp.zeros((batch,), jnp.float32),
+        lf_out=jnp.zeros((batch,), jnp.float32),
+        mu=jnp.zeros((batch,), jnp.float32),
+    )
+
+
+def gardner_gains(cfg: Config) -> tuple:
+    """PI loop gains from damping/bandwidth/detector gain
+    (Synchronizer_Gardner_fast::set_loop_filter_coeffs)."""
+    zeta, bn, kd = cfg.stm_damping, cfg.stm_norm_bandwidth, cfg.stm_detector_gain
+    k0 = -1.0
+    theta = bn / cfg.shp_osf / (zeta + 0.25 / zeta)
+    d = (1 + 2 * zeta * theta + theta * theta) * k0 * kd
+    return (4 * zeta * theta) / d, (4 * theta * theta) / d
+
+
+def gardner_scan(x: jnp.ndarray, cfg: Config,
+                 state: Optional[GardnerState] = None):
+    """Gardner TED + PI loop + NCO + Farrow on a (B, N, 2) stream.
+
+    Returns (y (B,N,2) interpolated, strobe (B,N) int8, new_state). Exact
+    port of the reference's per-sample state machine (4-case dispatch on
+    (is_strobe, popcount(history))) — expressed as masked updates so all B
+    streams advance in lockstep on the VPU.
+    """
+    B, N, _ = x.shape
+    osf = cfg.shp_osf
+    kp, ki = gardner_gains(cfg)
+    inv_osf = 1.0 / osf
+    if state is None:
+        state = gardner_init(B, osf)
+
+    def popcount(v):
+        c = jnp.zeros_like(v)
+        for b in range(osf):
+            c = c + ((v >> b) & 1)
+        return c
+
+    def step(st: GardnerState, xi):
+        # xi: (B, 2) current input sample
+        W = st.lf_out + inv_osf
+        is_strobe = (st.nco < W)
+        hist = ((st.history << 1) % (1 << osf)) + is_strobe.astype(jnp.int32)
+        nset = popcount(hist)
+
+        # farrow output with per-stream mu (recomputed on strobe)
+        mu = jnp.where(is_strobe, st.nco / W, st.mu)
+        b = filters.farrow_taps(mu)                       # (4, B)
+        ext = jnp.concatenate([st.farrow, xi[:, None]], axis=1)  # (B,4,2)
+        y = (b[0][:, None] * ext[:, 0] + b[1][:, None] * ext[:, 1]
+             + b[2][:, None] * ext[:, 2] + b[3][:, None] * ext[:, 3])
+
+        nco = jnp.where(is_strobe, st.nco + 1.0 - W, st.nco - W)
+
+        # TED error only on (strobe, popcount==1)
+        brow = jnp.arange(B)
+        mid_v = st.ted_buf[brow, st.mid]
+        head_v = st.ted_buf[brow, st.head]
+        ted_err = mid_v[:, 0] * (head_v[:, 0] - y[:, 0]) + \
+            mid_v[:, 1] * (head_v[:, 1] - y[:, 1])
+        active = is_strobe & (nset == 1)
+        ted_err = jnp.where(active, ted_err, 0.0)
+
+        # TED buffer update (3 cases; popcount==0 & no strobe: no update)
+        single = (nset == 1)
+        double = (nset > 1)
+        headm1 = (st.head - 1 + osf) % osf
+        buf = st.ted_buf
+        # single: buf[head] = y; shift 1
+        buf1 = buf.at[brow, st.head].set(y)
+        # double: buf[head] = 0, buf[head-1] = y; shift 2
+        buf2 = buf.at[brow, st.head].set(0.0).at[brow, headm1].set(y)
+        buf = jnp.where(single[:, None, None], buf1,
+                        jnp.where(double[:, None, None], buf2, buf))
+        shift = jnp.where(single, 1, jnp.where(double, 2, 0))
+        head = (st.head - shift + 2 * osf) % osf
+        mid = (st.mid - shift + 2 * osf) % osf
+
+        lf_prev = st.lf_prev + ted_err * ki
+        lf_out = jnp.where(active, lf_prev + ted_err * kp, lf_prev)
+
+        new = GardnerState(farrow=ext[:, 1:], ted_buf=buf, head=head,
+                           mid=mid, history=hist, nco=nco, lf_prev=lf_prev,
+                           lf_out=lf_out, mu=mu)
+        return new, (y, is_strobe.astype(jnp.int8))
+
+    xs = x.transpose(1, 0, 2)                             # (N, B, 2)
+    state, (ys, strobes) = jax.lax.scan(step, state, xs)
+    return ys.transpose(1, 0, 2), strobes.T, state
+
+
+# ---------------------------------------------------------------------------
+# frame synchronization (Synchronizer_frame_DVBS2_fast/aib)
+# ---------------------------------------------------------------------------
+
+import functools
+
+from dvbs2_tpu.ops import framer as _framer
+from dvbs2_tpu.config import PLS_WORDS
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_taps() -> np.ndarray:
+    """89 real taps correlating the differential symbol stream against the
+    differentially-encoded SOF+PLSC.
+
+    Derived from the PLHEADER itself rather than copied from the reference
+    table (Synchronizer_frame_DVBS2_fast.hpp:19-32): d_k = plh_k * conj(
+    plh_{k+1}) is +-j for pi/2-BPSK; tap_k = -imag(d_k) where d_k is
+    identical across all supported PLS words, 0 where modcod-dependent.
+    """
+    ds = []
+    for mc in PLS_WORDS:
+        plh = _framer.plheader(mc)
+        d = plh[:-1] * np.conj(plh[1:])          # (89,)
+        ds.append(np.round(np.imag(d)).astype(np.int8))
+    ds = np.stack(ds)
+    common = np.all(ds == ds[0], axis=0)
+    taps = np.where(common, -ds[0], 0).astype(np.float32)
+    assert np.all(taps[:25] != 0), "SOF taps must be modcod-independent"
+    return taps
+
+
+class FrameSyncState(NamedTuple):
+    prev_sym: jnp.ndarray    # (B, 1, 2) last symbol of previous frame
+    corr_vec: jnp.ndarray    # (B, L) EMA of correlation per frame position
+    fir_state: jnp.ndarray   # (B, 88, 2) differential-FIR history
+    delay_buf: jnp.ndarray   # (B, L, 2) realignment buffer (one frame)
+
+
+def frame_sync_init(batch: int, frame_len: int) -> FrameSyncState:
+    return FrameSyncState(
+        prev_sym=jnp.concatenate([jnp.ones((batch, 1, 1), jnp.float32),
+                                  jnp.zeros((batch, 1, 1), jnp.float32)],
+                                 axis=-1),
+        corr_vec=jnp.zeros((batch, frame_len), jnp.float32),
+        fir_state=jnp.zeros((batch, 88, 2), jnp.float32),
+        delay_buf=jnp.zeros((batch, frame_len, 2), jnp.float32),
+    )
+
+
+def frame_sync(x: jnp.ndarray, cfg: Config, state: FrameSyncState):
+    """Frame synchronization over one (B, L, 2) frame-length symbol block.
+
+    Returns (aligned (B, L, 2), delay (B,), flag (B,), max_corr (B,), state).
+    Algorithm: differential stream z_n = x_{n-1} conj(x_n); correlate with
+    the +-1/0 SOF+PLSC pattern via one real FIR; corr = max(|SOF+PLSC|,
+    |SOF-PLSC|) with EMA smoothing; delay = argmax; realign with a variable
+    delay (Synchronizer_frame_DVBS2_aib.cpp:44-123).
+    """
+    B, L, _ = x.shape
+    taps = _diff_taps()
+    sof_taps = np.where(np.arange(89) < 25, taps, 0)
+    plsc_taps = np.where(np.arange(89) >= 25, taps, 0)
+    # differential stream: z[0] = prev * conj(x[0]), z[i] = x[i-1] conj(x[i])
+    xprev = jnp.concatenate([state.prev_sym, x[:, :-1]], axis=1)
+    z = cplx.mul_conj(xprev, x)
+    # correlation at position i sums tap_k * z[i-88+k]  ->  FIR with
+    # reversed taps: y[i] = sum_j h[j] z[i-j], h[j] = tap[88-j]
+    zc = jnp.concatenate([state.fir_state, z], axis=1)
+    ps_sof, _ = filters.fir(zc, sof_taps[::-1].copy())
+    ps_plsc, _ = filters.fir(zc, plsc_taps[::-1].copy())
+    ps_sof = ps_sof[:, 88:]
+    ps_plsc = ps_plsc[:, 88:]
+    corr = jnp.maximum(jnp.sqrt(cplx.abs2(ps_sof + ps_plsc)),
+                       jnp.sqrt(cplx.abs2(ps_sof - ps_plsc)))
+    corr_vec = cfg.sfm_alpha * state.corr_vec + (1 - cfg.sfm_alpha) * corr
+    max_idx = jnp.argmax(corr_vec, axis=1).astype(jnp.int32)
+    max_corr = jnp.max(corr_vec, axis=1)
+    delay = (L + max_idx - 89) % L
+    flag = max_corr > cfg.sfm_trigger
+    # realign: output_delay with per-stream delay (L - delay) % L
+    d = (L - delay) % L
+    ext = jnp.concatenate([state.delay_buf, x], axis=1)     # (B, 2L, 2)
+    # out[n] = ext[L - d + n]  (the last L+d..  window)
+    idx = (L - d)[:, None] + jnp.arange(L)[None, :]
+    brow = jnp.arange(B)[:, None]
+    aligned = jnp.stack([ext[..., 0][brow, idx], ext[..., 1][brow, idx]],
+                        axis=-1)
+    new_state = FrameSyncState(prev_sym=x[:, -1:], corr_vec=corr_vec,
+                               fir_state=z[:, -88:], delay_buf=x)
+    return aligned, delay, flag, max_corr, new_state
+
+
+# ---------------------------------------------------------------------------
+# L&R fine frequency (Synchronizer_Luise_Reggiannini_DVBS2_aib.cpp:90-167)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def pilot_starts(modcod: str) -> np.ndarray:
+    """Symbol indices of pilot-block starts inside a PL frame (incl. PLH)."""
+    cfg = Config(modcod=modcod)
+    return np.array([90 + (i + 1) * 16 * 90 + i * 36
+                     for i in range(cfg.n_pilots)], dtype=np.int32)
+
+
+class LrState(NamedTuple):
+    r_acc: jnp.ndarray       # (B, 2) EMA of the summed autocorrelation
+
+
+def lr_init(batch: int) -> LrState:
+    return LrState(r_acc=jnp.zeros((batch, 2), jnp.float32))
+
+
+def lr_fine_freq(x: jnp.ndarray, cfg: Config, state: LrState):
+    """Luise&Reggiannini residual CFO estimation + frame derotation on a
+    descrambled (B, L, 2) PL frame. Returns (y, f_hat (B,), state)."""
+    B, L, _ = x.shape
+    Lp, Lp2 = 18, 9
+    starts = pilot_starts(cfg.modcod)
+    # z_i = symbol * conj(pilot) * sqrt(2): (re+im, im-re)
+    zs = []
+    for s in starts:
+        blk = x[:, s:s + Lp]
+        zs.append(jnp.stack([blk[..., 0] + blk[..., 1],
+                             blk[..., 1] - blk[..., 0]], axis=-1))
+    z = jnp.stack(zs, axis=1)                               # (B, P, Lp, 2)
+    acc = jnp.zeros((B, 2), jnp.float32)
+    for m in range(1, Lp2 + 1):
+        a, b = z[:, :, m:], z[:, :, :-m]
+        re = jnp.sum(a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1], axis=(1, 2))
+        im = jnp.sum(a[..., 1] * b[..., 0] - a[..., 0] * b[..., 1], axis=(1, 2))
+        acc = acc + jnp.stack([re, im], axis=-1) / (2.0 * (Lp - m))
+    r_acc = cfg.sff_lr_alpha * state.r_acc + (1 - cfg.sff_lr_alpha) * acc
+    f_hat = jnp.arctan2(r_acc[:, 1], r_acc[:, 0]) / ((Lp2 + 1) * np.pi)
+    # derotate: y_n = x_n * e^{-j pi f_hat * 2n}  (theta over symbol index)
+    n = jnp.arange(L, dtype=jnp.float32)
+    theta = (np.pi * 2.0) * f_hat[:, None] * n[None, :] / 2.0 * 2.0
+    theta = np.pi * f_hat[:, None] * (2.0 * n)[None, :]
+    rot = jnp.stack([jnp.cos(theta), -jnp.sin(theta)], axis=-1)
+    return cplx.mul(x, rot), f_hat, LrState(r_acc=r_acc)
+
+
+# ---------------------------------------------------------------------------
+# fine phase/freq LS fit (Synchronizer_freq_phase_DVBS2_aib.cpp:44-113)
+# ---------------------------------------------------------------------------
+
+def phase_freq_fine(x: jnp.ndarray, cfg: Config):
+    """Per-pilot phase estimates + unwrap + LS line fit + derotation on a
+    (B, L, 2) frame. Returns (y, f_hat, phi_hat)."""
+    B, L, _ = x.shape
+    Lp = 36
+    starts = pilot_starts(cfg.modcod)
+    P = len(starts)
+    ph = []
+    for s in starts:
+        blk = x[:, s:s + Lp]
+        re = jnp.sum(blk[..., 0] + blk[..., 1], axis=1)
+        im = jnp.sum(blk[..., 1] - blk[..., 0], axis=1)
+        a = jnp.arctan2(im, re)
+        ph.append(jnp.where(a < 0, a + 2 * np.pi, a))
+    ph = jnp.stack(ph, axis=1)                              # (B, P)
+    inv2pi = 1.0 / (2 * np.pi)
+    diff = ph[:, 1:] - ph[:, :-1]
+    acc_elt = jnp.where(diff > 0, jnp.floor(diff * inv2pi + 0.5),
+                        jnp.ceil(diff * inv2pi - 0.5))
+    acc_elt = jnp.where(jnp.abs(diff) > np.pi, acc_elt, 0.0)
+    acc = jnp.cumsum(acc_elt, axis=1)
+    y = ph * inv2pi - jnp.pad(acc, ((0, 0), (1, 0)))
+    t = jnp.asarray(starts.astype(np.float32) + Lp / 2)[None, :]
+    sum_t, sum_y = jnp.sum(t, 1) * jnp.ones((B,)), jnp.sum(y, 1)
+    sum_ty = jnp.sum(t * y, 1)
+    sum_tt = jnp.sum(t * t, 1) * jnp.ones((B,))
+    f_hat = (P * sum_ty - sum_t * sum_y) / (P * sum_tt - sum_t * sum_t)
+    phi_hat = (sum_y - f_hat * sum_t) / P
+    n = jnp.arange(L, dtype=jnp.float32)[None, :]
+    theta = 2 * np.pi * (f_hat[:, None] * n + phi_hat[:, None])
+    rot = jnp.stack([jnp.cos(theta), -jnp.sin(theta)], axis=-1)
+    return cplx.mul(x, rot), f_hat, phi_hat

@@ -1,0 +1,119 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvbs2_tpu.ops import cplx, filters
+
+
+def test_rrc_taps_properties():
+    taps = filters.rrc_taps(0.2, 2, 20)
+    assert taps.shape == (81,)                     # 2*20*2+1
+    np.testing.assert_allclose(np.sum(taps**2), 1.0, rtol=1e-6)  # unit energy
+    np.testing.assert_allclose(taps, taps[::-1], rtol=1e-6)      # symmetric
+    assert taps[40] == taps.max()                  # peak at center
+    # center value matches the closed form (1 - b + 4b/pi)/sqrt(E)
+    expect_center = 1 - 0.2 + 4 * 0.2 / np.pi
+    assert abs(taps[40] * np.sqrt(1.0) / taps[40] - 1) < 1e-6
+    assert expect_center > 0
+
+
+def test_fir_matches_numpy_convolve():
+    rng = np.random.RandomState(0)
+    x = cplx.from_np(rng.randn(2, 200) + 1j * rng.randn(2, 200))
+    taps = rng.randn(11).astype(np.float32)
+    y, st = filters.fir(jnp.asarray(x), taps)
+    ref = np.stack([np.convolve(x[b, :, c], taps)[:200]
+                    for b in range(2) for c in range(2)]).reshape(2, 2, 200)
+    np.testing.assert_allclose(np.asarray(y), ref.transpose(0, 2, 1),
+                               rtol=1e-4, atol=1e-4)
+    assert st.shape == (2, 10, 2)
+
+
+def test_fir_streaming_equals_batch():
+    """Filtering in two chunks with carried state == filtering at once."""
+    rng = np.random.RandomState(1)
+    x = cplx.from_np(rng.randn(1, 300) + 1j * rng.randn(1, 300))
+    taps = filters.rrc_taps()
+    full, _ = filters.fir(jnp.asarray(x), taps)
+    y1, st = filters.fir(jnp.asarray(x[:, :150]), taps)
+    y2, _ = filters.fir(jnp.asarray(x[:, 150:]), taps, st)
+    np.testing.assert_allclose(np.concatenate([y1, y2], axis=1),
+                               np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_upfir_matches_zero_stuffed_fir():
+    rng = np.random.RandomState(2)
+    x = cplx.from_np(rng.randn(1, 100) + 1j * rng.randn(1, 100))
+    taps = filters.rrc_taps()
+    up, _ = filters.upfir(jnp.asarray(x), taps, osf=2)
+    assert up.shape == (1, 200, 2)
+    # reference: zero-stuff then plain FIR
+    stuffed = np.zeros((1, 200, 2), np.float32)
+    stuffed[:, ::2] = x
+    ref, _ = filters.fir(jnp.asarray(stuffed), taps)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_matched_filter_nyquist_isi_free():
+    """UPRRC shaping + matched RRC gives ~ISI-free symbol samples."""
+    rng = np.random.RandomState(3)
+    n_sym = 256
+    syms = (1 - 2 * rng.randint(0, 2, (1, n_sym))).astype(np.float32)
+    x = np.zeros((1, n_sym, 2), np.float32)
+    x[..., 0] = syms
+    taps = filters.rrc_taps(0.2, 2, 20)
+    shaped, _ = filters.upfir(jnp.asarray(x), taps, osf=2)
+    matched, _ = filters.fir(shaped, taps)
+    y = np.asarray(matched)[0, :, 0]
+    delay = 2 * 40  # 2 * grp_delay * osf
+    recovered = y[delay:delay + 2 * (n_sym - 40):2]
+    ref = syms[0, :len(recovered)]
+    corr = np.corrcoef(recovered, ref)[0, 1]
+    assert corr > 0.999
+
+
+def test_fractional_delay_linear_ramp():
+    """Farrow on a linear ramp reproduces the ramp shifted by ~(2 - mu)."""
+    n = 50
+    ramp = np.arange(n, dtype=np.float32)
+    x = np.zeros((1, n, 2), np.float32)
+    x[0, :, 0] = ramp
+    mu = 0.3
+    y, _ = filters.fractional_delay(jnp.asarray(x), mu)
+    got = np.asarray(y)[0, 10:40, 0]
+    # interior: piecewise-parabolic interpolator on x[n-3..n];
+    # on a linear signal output = x[n - (2 - mu)]
+    expect = ramp[10:40] - (2 - mu)
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_integer_delay_stream():
+    x = cplx.from_np(np.arange(10) + 0j)[None]
+    y, st = filters.integer_delay(jnp.asarray(x), 3)
+    np.testing.assert_allclose(np.asarray(y)[0, 3:, 0], np.arange(7))
+    np.testing.assert_allclose(np.asarray(y)[0, :3, 0], 0)
+    y2, _ = filters.integer_delay(jnp.asarray(x), 3, st)
+    np.testing.assert_allclose(np.asarray(y2)[0, :3, 0], [7, 8, 9])
+
+
+def test_cfo_mix_phase_continuity_and_roundtrip():
+    rng = np.random.RandomState(4)
+    x = cplx.from_np(rng.randn(1, 400) + 1j * rng.randn(1, 400))
+    nu = 0.01
+    y_full, _ = filters.cfo_mix(jnp.asarray(x), nu)
+    y1, st = filters.cfo_mix(jnp.asarray(x[:, :200]), nu)
+    y2, _ = filters.cfo_mix(jnp.asarray(x[:, 200:]), nu, st)
+    np.testing.assert_allclose(np.concatenate([y1, y2], axis=1),
+                               np.asarray(y_full), rtol=1e-4, atol=1e-4)
+    # mix then de-mix restores
+    back, _ = filters.cfo_mix(y_full, nu, conj=True)
+    np.testing.assert_allclose(np.asarray(back), x, rtol=1e-3, atol=1e-3)
+
+
+def test_agc_normalizes_energy():
+    rng = np.random.RandomState(5)
+    x = cplx.from_np(3.7 * (rng.randn(2, 1000) + 1j * rng.randn(2, 1000)))
+    y = filters.agc(jnp.asarray(x))
+    e = np.mean(cplx.abs2(np.asarray(y)), axis=1)
+    np.testing.assert_allclose(e, 1.0, rtol=0.05)
