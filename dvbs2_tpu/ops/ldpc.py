@@ -170,7 +170,10 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
     L_info0 = lt[:s.K].reshape(G, GROUP, F)
     # parity plane [r, t] = LLR of p_{r + q t}
     L_par0 = lt[s.K:].reshape(GROUP, q, F).transpose(1, 0, 2)
-    R0 = jnp.zeros((q, dc, GROUP, F), jnp.float32)
+    # derive the zero message state from the input so its sharding/varying
+    # type matches under shard_map (a plain jnp.zeros is unvarying and the
+    # fori_loop carry would change type on the first iteration)
+    R0 = jnp.zeros((q, dc, GROUP, F), jnp.float32) + 0.0 * lt[0, 0]
 
     groups = s.layer_groups
     shifts = s.layer_shifts
