@@ -190,3 +190,23 @@ def agc(x: jnp.ndarray, output_energy: float = 1.0) -> jnp.ndarray:
     mean = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.mean(cplx.abs2(x - mean), axis=1)[..., None, None]
     return x * (np.sqrt(output_energy) / jnp.sqrt(var))
+
+
+def fading_gains(snr_list: list, esn0_ref: float) -> np.ndarray:
+    """Per-frame gain sequence from (esn0_dB, n_frames) pairs — the
+    Multiplier_fading_DVBS2 schedule (Multiplier_fading_DVBS2.cpp:12-56):
+    gain = sqrt(10^((esn0 - esn0_ref)/10)), held for n_frames frames."""
+    gains = []
+    for esn0, n in snr_list:
+        gains.extend([np.sqrt(10.0 ** ((esn0 - esn0_ref) / 10.0))] * int(n))
+    return np.asarray(gains, dtype=np.float32)
+
+
+def read_fading_file(path: str) -> list:
+    """Es/N0 sequence file: lines of 'esn0 frame_count'."""
+    out = []
+    for line in open(path):
+        toks = line.split()
+        if len(toks) >= 2:
+            out.append((float(toks[0]), int(toks[1])))
+    return out
