@@ -155,12 +155,22 @@ def _check_update(Lq: jnp.ndarray, implem: str, alpha: float):
 
 
 def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
-           norm_factor: float = 0.875) -> jnp.ndarray:
+           norm_factor: float = 0.875, use_pallas: str = "auto") -> jnp.ndarray:
     """(F, N) channel LLRs (positive => bit 0) -> (F, N) posterior LLRs.
 
     Grouped-layered BP with roll-only layer updates; ``implem`` in
     {SPA, MS, NMS} mirroring the reference's --dec-implem (DVBS2.cpp:88).
+    On TPU the (N)MS path dispatches to the VMEM-resident Pallas kernel
+    (ops/ldpc_pallas.py, ~5x the XLA version); ``use_pallas`` in
+    {"auto", "never", "always"}.
     """
+    if implem in ("MS", "NMS") and use_pallas != "never":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if use_pallas == "always" or on_tpu:
+            from dvbs2_tpu.ops import ldpc_pallas
+            alpha = norm_factor if implem == "NMS" else 1.0
+            return ldpc_pallas.decode_nms(llr, rate, n_ite=n_ite,
+                                          norm_factor=alpha)
     s = build_structs(rate)
     F, N = llr.shape
     assert N == N_LDPC
@@ -171,6 +181,13 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
     # parity plane [r, t] = LLR of p_{r + q t}
     L_par0 = lt[s.K:].reshape(GROUP, q, F).transpose(1, 0, 2)
 
+    # Carry per-group/per-layer blocks as SEPARATE pytree leaves: updating a
+    # group rebinds one (360, F) leaf instead of a dynamic-update-slice into
+    # one big array (which XLA materializes as a full copy per update —
+    # measured ~6x slowdown).
+    L_info0 = tuple(L_info0[g] for g in range(G))
+    L_par0 = tuple(L_par0[r] for r in range(q))
+
     if implem in ("MS", "NMS"):
         alpha = norm_factor if implem == "NMS" else 1.0
         return _decode_minsum_compressed(lt, L_info0, L_par0, s, n_ite,
@@ -179,22 +196,26 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
     # derive the zero message state from the input so its sharding/varying
     # type matches under shard_map (a plain jnp.zeros is unvarying and the
     # fori_loop carry would change type on the first iteration)
-    R0 = jnp.zeros((q, dc, GROUP, F), jnp.float32) + 0.0 * lt[0, 0]
+    zf = 0.0 * lt[0, 0]
+    R0 = tuple(jnp.zeros((dc, GROUP, F), jnp.float32) + zf for _ in range(q))
 
     groups = s.layer_groups
     shifts = s.layer_shifts
 
     def one_layer(r, L_info, L_par, R):
+        L_info = list(L_info)
+        L_par = list(L_par)
+        R = list(R)
         Lq = []
         for e in range(d_info):
             g, sh = int(groups[r, e]), int(shifts[r, e])
-            Lq.append(jnp.roll(L_info[g], sh, axis=0) - R[r, e])
-        Lq.append(L_par[r] - R[r, d_info])               # p_self
+            Lq.append(jnp.roll(L_info[g], sh, axis=0) - R[r][e])
+        Lq.append(L_par[r] - R[r][d_info])               # p_self
         if r > 0:
             prev_in = L_par[r - 1]
         else:
             prev_in = jnp.roll(L_par[q - 1], 1, axis=0).at[0].set(_BIG)
-        Lq.append(prev_in - R[r, d_info + 1])            # p_prev
+        Lq.append(prev_in - R[r][d_info + 1])            # p_prev
         Lq = jnp.stack(Lq)                               # (dc, 360, F)
 
         Rnew = _check_update(Lq, implem, norm_factor)
@@ -202,17 +223,17 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
 
         for e in range(d_info):
             g, sh = int(groups[r, e]), int(shifts[r, e])
-            L_info = L_info.at[g].set(jnp.roll(post[e], -sh, axis=0))
-        L_par = L_par.at[r].set(post[d_info])
+            L_info[g] = jnp.roll(post[e], -sh, axis=0)
+        L_par[r] = post[d_info]
         if r > 0:
-            L_par = L_par.at[r - 1].set(post[d_info + 1])
+            L_par[r - 1] = post[d_info + 1]
         else:
             back = jnp.roll(post[d_info + 1], -1, axis=0)
             # row 359 of the rolled-back block is the dummy head; keep original
-            L_par = L_par.at[q - 1].set(
-                L_par[q - 1].at[:GROUP - 1].set(back[:GROUP - 1]))
-        R = R.at[r].set(Rnew)
-        return L_info, L_par, R
+            L_par[q - 1] = jnp.concatenate(
+                [back[:GROUP - 1], L_par[q - 1][GROUP - 1:]], axis=0)
+        R[r] = Rnew
+        return tuple(L_info), tuple(L_par), tuple(R)
 
     def one_iteration(_, carry):
         L_info, L_par, R = carry
@@ -222,8 +243,8 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
 
     L_info, L_par, _ = jax.lax.fori_loop(0, n_ite, one_iteration,
                                          (L_info0, L_par0, R0))
-    out_info = L_info.reshape(s.K, F)
-    out_par = L_par.transpose(1, 0, 2).reshape(s.NmK, F)
+    out_info = jnp.concatenate(L_info, axis=0).reshape(s.K, F)
+    out_par = jnp.stack(L_par).transpose(1, 0, 2).reshape(s.NmK, F)
     return jnp.concatenate([out_info, out_par], axis=0).T
 
 
@@ -243,10 +264,10 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
 
     zf = 0.0 * lt[0, 0]
     zi = jnp.int32(0) * lt[0, 0].astype(jnp.int32)
-    m1_0 = jnp.zeros((q, GROUP, F), jnp.float32) + zf
-    m2_0 = jnp.zeros((q, GROUP, F), jnp.float32) + zf
-    am_0 = jnp.zeros((q, GROUP, F), jnp.int32) + zi
-    sg_0 = jnp.zeros((q, GROUP, F), jnp.int32) + zi
+    m1_0 = tuple(jnp.zeros((GROUP, F), jnp.float32) + zf for _ in range(q))
+    m2_0 = m1_0
+    am_0 = tuple(jnp.zeros((GROUP, F), jnp.int32) + zi for _ in range(q))
+    sg_0 = am_0
 
     def reconstruct(e, m1, m2, am, sg):
         sign = 1.0 - 2.0 * ((sg >> e) & 1).astype(jnp.float32)
@@ -254,6 +275,8 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
         return a * sign * mag
 
     def one_layer(r, L_info, L_par, m1, m2, am, sg):
+        L_info, L_par = list(L_info), list(L_par)
+        m1, m2, am, sg = list(m1), list(m2), list(am), list(sg)
         m1r, m2r, amr, sgr = m1[r], m2[r], am[r], sg[r]
         Lq = []
         for e in range(d_info):
@@ -290,20 +313,18 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
 
         for e in range(d_info):
             g, sh = int(groups[r, e]), int(shifts[r, e])
-            L_info = L_info.at[g].set(jnp.roll(Lq[e] + rnew(e), -sh, axis=0))
-        L_par = L_par.at[r].set(Lq[d_info] + rnew(d_info))
+            L_info[g] = jnp.roll(Lq[e] + rnew(e), -sh, axis=0)
+        L_par[r] = Lq[d_info] + rnew(d_info)
         post_prev = Lq[d_info + 1] + rnew(d_info + 1)
         if r > 0:
-            L_par = L_par.at[r - 1].set(post_prev)
+            L_par[r - 1] = post_prev
         else:
             back = jnp.roll(post_prev, -1, axis=0)
-            L_par = L_par.at[q - 1].set(
-                L_par[q - 1].at[:GROUP - 1].set(back[:GROUP - 1]))
-        m1 = m1.at[r].set(nm1)
-        m2 = m2.at[r].set(nm2)
-        am = am.at[r].set(nam)
-        sg = sg.at[r].set(nsg)
-        return L_info, L_par, m1, m2, am, sg
+            L_par[q - 1] = jnp.concatenate(
+                [back[:GROUP - 1], L_par[q - 1][GROUP - 1:]], axis=0)
+        m1[r], m2[r], am[r], sg[r] = nm1, nm2, nam, nsg
+        return (tuple(L_info), tuple(L_par), tuple(m1), tuple(m2),
+                tuple(am), tuple(sg))
 
     def one_iteration(_, carry):
         L_info, L_par, m1, m2, am, sg = carry
@@ -314,8 +335,8 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
 
     L_info, L_par, *_ = jax.lax.fori_loop(
         0, n_ite, one_iteration, (L_info0, L_par0, m1_0, m2_0, am_0, sg_0))
-    out_info = L_info.reshape(s.K, F)
-    out_par = L_par.transpose(1, 0, 2).reshape(s.NmK, F)
+    out_info = jnp.concatenate(L_info, axis=0).reshape(s.K, F)
+    out_par = jnp.stack(L_par).transpose(1, 0, 2).reshape(s.NmK, F)
     return jnp.concatenate([out_info, out_par], axis=0).T
 
 
