@@ -1,5 +1,6 @@
-"""Full RX chain: matched filter -> timing recovery -> frame sync -> PL
-descramble -> fine freq/phase sync -> deframe -> demod -> FEC decode.
+"""Full RX chain: coarse-freq derotation -> matched filter -> timing
+recovery -> frame sync -> PL descramble -> fine freq/phase sync -> deframe ->
+demod -> FEC decode.
 
 Equivalent of the reference RX binding (src/mains/TX_RX/main.cpp:200-266 /
 RX/main_sched.cpp:197-223), re-designed as one jitted function over a
@@ -9,10 +10,11 @@ modules (frame sync, L&R) advance via ``lax.scan`` over the F frames of the
 block; feedback DSP (Gardner) scans per sample.
 
 Sync mode per Config: perfect_sync=True uses the genie timing (known channel
-delay); otherwise the real Gardner loop runs. Frame sync is always the real
-correlator (it self-aligns, subsuming the genie variant); coarse frequency
-is the frozen derotator (acquisition phases land in a later round — CFO=0
-reference configs need none).
+delay) and genie coarse derotation (known CFO); otherwise the real Gardner
+loop runs and the coarse derotator applies the per-stream frequency learned
+during acquisition (chains/acquisition.py), frozen exactly like the
+reference's tracking phase (the PLL's update_phase is only driven from the
+step-MF path, Synchronizer_step_mf_cc.cpp:205-207).
 """
 from __future__ import annotations
 
@@ -28,6 +30,7 @@ from dvbs2_tpu.ops import ldpc, modem, scrambler, sync
 
 
 class RxState(NamedTuple):
+    coarse: sync.CoarseState         # coarse-freq PLL/DDS (frozen in tracking)
     mf: jnp.ndarray                  # matched-filter history
     gardner: sync.GardnerState
     timing_frac: jnp.ndarray         # Farrow history (perfect-timing path)
@@ -41,6 +44,7 @@ def rx_init(cfg: Config, batch: int) -> RxState:
     L = cfg.pl_frame_size
     taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
     return RxState(
+        coarse=sync.coarse_init(batch, L),
         mf=filters.fir_init(len(taps), batch),
         gardner=sync.gardner_init(batch, cfg.shp_osf),
         timing_frac=jnp.zeros((batch, 3, 2), jnp.float32),
@@ -52,20 +56,31 @@ def rx_init(cfg: Config, batch: int) -> RxState:
 
 
 def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
-              n_frames: int):
+              n_frames: int, decode: bool = True):
     """Process a (B, n_frames*L*osf, 2) sample stream; decode n_frames.
 
-    Returns (bits (B, n_frames, K_bch), flags dict, new RxState).
+    Returns (bits (B, n_frames, K_bch) or None if decode=False, info dict
+    with per-frame delay/flag + per-stream underflow count, new RxState).
     """
     B, N_samp, _ = x.shape
     L = cfg.pl_frame_size
     assert N_samp == n_frames * L * cfg.shp_osf
     taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
 
-    # AGC (Multiplier_AGC_cc_naive; unit energy at symbol rate => 1/osf per
-    # sample, but the reference normalizes the block to unit energy and the
-    # constellation scale is absorbed by the blind SNR estimator downstream)
-    y = filters.agc(x, output_energy=1.0 / cfg.shp_osf)
+    # coarse frequency derotation (frozen per-stream nu; genie knows the CFO)
+    if cfg.perfect_sync:
+        y, _nco = sync.coarse_perfect(
+            x, cfg.chn_max_freq_shift,
+            filters.NcoState(n=state.coarse.n[0]))
+        coarse_state = state.coarse._replace(
+            n=jnp.broadcast_to(_nco.n, state.coarse.n.shape))
+    else:
+        y, coarse_state = sync.coarse_mix(x, state.coarse)
+
+    # AGC at sample level (the reference normalizes the extracted symbol
+    # blocks to unit energy, Multiplier_AGC_cc_naive; at the sample rate the
+    # equivalent target is 1/osf per sample)
+    y = filters.agc(y, output_energy=1.0 / cfg.shp_osf)
 
     # matched filter
     y, mf_state = filters.fir(y, taps, state.mf)
@@ -80,7 +95,7 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
         frac_state = state.timing_frac
 
     # strobed-symbol extraction -> (B, n_frames, L, 2)
-    syms, ex_state, _uf = sync.extract_strobed(
+    syms, ex_state, uf = sync.extract_strobed(
         y, strobe, n_frames * L, state.extract)
     syms = syms.reshape(B, n_frames, L, 2)
 
@@ -96,8 +111,17 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
     frames_t = syms.transpose(1, 0, 2, 3)            # (F, B, L, 2)
     (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
         per_frame, (state.fsync, state.lr), frames_t)
-    fine = fine.transpose(1, 0, 2, 3).reshape(B * n_frames, L, 2)
 
+    new_state = RxState(coarse=coarse_state, mf=mf_state, gardner=gstate,
+                        timing_frac=frac_state, extract=ex_state,
+                        fsync=fs_state, lr=lr_state,
+                        sample_idx=state.sample_idx + N_samp)
+    info = {"delay": delays.T, "flag": flags.T,
+            "underflow": uf.astype(jnp.int32)}
+    if not decode:
+        return None, info, new_state
+
+    fine = fine.transpose(1, 0, 2, 3).reshape(B * n_frames, L, 2)
     # PLH/pilot removal + demod + decode (flat batch B*n_frames)
     xfec = framer.deframe(fine, cfg.modcod)
     if cfg.est_type == "PERFECT":
@@ -111,10 +135,6 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
                        implem=cfg.ldpc_implem,
                        norm_factor=cfg.ldpc_norm_factor)
     hard = ldpc.hard_decision(post)[:, :cfg.N_bch]
-    info, _ok = bch.decode(hard, cfg.K_bch)
-    bits = scrambler.bb_scramble(info).reshape(B, n_frames, cfg.K_bch)
-
-    new_state = RxState(mf=mf_state, gardner=gstate, timing_frac=frac_state,
-                        extract=ex_state, fsync=fs_state, lr=lr_state,
-                        sample_idx=state.sample_idx + N_samp)
-    return bits, {"delay": delays.T, "flag": flags.T}, new_state
+    info_bits, _ok = bch.decode(hard, cfg.K_bch)
+    bits = scrambler.bb_scramble(info_bits).reshape(B, n_frames, cfg.K_bch)
+    return bits, info, new_state

@@ -4,11 +4,19 @@ decode — the `dvbs2_tx_rx` equivalent (reference: src/mains/TX_RX/main.cpp).
 One step processes F consecutive frames for B independent streams (B rides
 the TPU lane axis through every scan — the INTER strategy applied to the
 whole chain). Stream continuity (filters, delays, NCO, sync loops) is
-carried in an explicit state pytree across steps; RX output lags TX by
-``frame_lag`` whole frames after frame-sync realignment, so the monitor
-compares RX frame j with the TX bits ``frame_lag`` frames earlier and skips
-the warmup frames, mirroring the reference's delay_tx_rx accounting
-(TX_RX/main.cpp:661-670).
+carried in an explicit state pytree across steps.
+
+TX->RX alignment mirrors the reference's delay_tx_rx accounting
+(TX_RX/main.cpp:425-431,506,538,661-670): every timing-sync underflow
+(processing_aborted in the reference) bumps a per-stream whole-frame slip
+counter, and the monitor compares RX frame g with TX frame g - slips,
+skipping warmup frames and any step that underflowed.
+
+Acquisition (`acquire`) is the host state machine over the jitted phase
+programs (chains/acquisition.py): WAITING until frame-sync lock, LEARNING
+1&2 (coarse-PLL convergence at Bn=1e-4 then 5e-5), LEARNING 3 (L&R EMA
+convergence through the tracking chain), then the caller runs `jit_step` for
+the TRANSMISSION phase.
 """
 from __future__ import annotations
 
@@ -20,10 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from dvbs2_tpu.config import Config
-from dvbs2_tpu.chains import channel_chain
+from dvbs2_tpu.chains import acquisition, channel_chain
 from dvbs2_tpu.chains.rx import RxState, rx_frames, rx_init
 from dvbs2_tpu.chains.tx import TxState, tx_stream
 from dvbs2_tpu.ops import filters
+
+SLIP_HEADROOM = 8    # extra in-flight TX frames kept beyond the nominal lag
 
 
 def _taps(cfg: Config):
@@ -39,29 +49,47 @@ def total_sample_delay(cfg: Config) -> int:
 
 
 def frame_lag(cfg: Config) -> int:
-    """Whole frames of TX->RX latency after frame-sync realignment."""
+    """Nominal whole frames of TX->RX latency (the steady-state slip count
+    reached after the startup underflows)."""
     sym_delay = math.ceil(total_sample_delay(cfg) / cfg.shp_osf)
     return math.ceil(sym_delay / cfg.pl_frame_size)
+
+
+def bits_depth(cfg: Config) -> int:
+    return frame_lag(cfg) + SLIP_HEADROOM
 
 
 class TxRxState(NamedTuple):
     tx: TxState
     ch: channel_chain.ChannelState
     rx: RxState
-    prev_bits: jnp.ndarray    # (B, frame_lag, K) TX bits still in flight
+    prev_bits: jnp.ndarray    # (B, depth, K) TX bits still in flight
     frame_count: jnp.ndarray  # () int32 frames processed per stream
+    slips: jnp.ndarray        # (B,) int32 whole-frame TX->RX lag
 
 
 def txrx_init(cfg: Config, batch: int) -> TxRxState:
-    lag = frame_lag(cfg)
     n_hist = (len(_taps(cfg)) + cfg.shp_osf - 1) // cfg.shp_osf
     return TxRxState(
         tx=TxState(shp=jnp.zeros((batch, n_hist, 2), jnp.float32)),
         ch=channel_chain.init_state(cfg, batch),
         rx=rx_init(cfg, batch),
-        prev_bits=jnp.zeros((batch, lag, cfg.K_bch), jnp.int8),
+        prev_bits=jnp.zeros((batch, bits_depth(cfg), cfg.K_bch), jnp.int8),
         frame_count=jnp.int32(0),
+        # the reference inits delay_tx_rx to the nominal overall delay and
+        # bumps it on every abort (TX_RX/main.cpp:425-431,506)
+        slips=jnp.full((batch,), frame_lag(cfg), jnp.int32),
     )
+
+
+def _tx_and_channel(key: jax.Array, sigma, cfg: Config, state: TxRxState,
+                    batch: int, F: int):
+    kb, kn = jax.random.split(key)
+    bits = jax.random.bernoulli(kb, 0.5,
+                                (batch, F, cfg.K_bch)).astype(jnp.int8)
+    x, tx_state = tx_stream(bits, cfg, state.tx)
+    y, ch_state = channel_chain.apply(kn, x, sigma, cfg, state.ch)
+    return bits, y, tx_state, ch_state
 
 
 class FullStepResult(NamedTuple):
@@ -77,27 +105,28 @@ def txrx_step(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     """Run ``frames_per_step`` frames through the full chain for ``batch``
     independent streams; count errors on frames past the warmup."""
     B, F = batch, frames_per_step
-    lag = frame_lag(cfg)
-    kb, kn = jax.random.split(key)
-    bits = jax.random.bernoulli(kb, 0.5, (B, F, cfg.K_bch)).astype(jnp.int8)
+    depth = bits_depth(cfg)
+    bits, y, tx_state, ch_state = _tx_and_channel(
+        key, sigma, cfg, state, B, F)
+    dec, info, rx_state = rx_frames(y, sigma, cfg, state.rx, F)
 
-    x, tx_state = tx_stream(bits, cfg, state.tx)
-    y, ch_state = channel_chain.apply(kn, x, sigma, cfg, state.ch)
-    dec, _info, rx_state = rx_frames(y, sigma, cfg, state.rx, F)
-
-    # reference bits for RX frame j of this step: TX frame j - lag
-    ref = jnp.concatenate([state.prev_bits, bits], axis=1)[:, :F]
+    # reference bits for RX frame g of stream b: TX frame g - slips_b
+    cat = jnp.concatenate([state.prev_bits, bits], axis=1)  # (B, depth+F, K)
+    idx = depth + jnp.arange(F)[None, :] - state.slips[:, None]
+    ref = cat[jnp.arange(B)[:, None], jnp.clip(idx, 0, depth + F - 1)]
     errs = jnp.sum(dec != ref, axis=-1)                   # (B, F)
-    # exclude warmup frames (global frame index < warmup + lag)
     gidx = state.frame_count + jnp.arange(F)[None, :]
-    valid = jnp.broadcast_to(gidx >= (warmup_frames + lag), (B, F))
+    uf = info["underflow"]                                # (B,) 0/1
+    valid = ((gidx >= warmup_frames + state.slips[:, None])
+             & (idx >= 0) & (uf[:, None] == 0))
     be = jnp.sum(jnp.where(valid, errs, 0))
     fe = jnp.sum(jnp.where(valid, errs > 0, False))
 
     new_state = TxRxState(
         tx=tx_state, ch=ch_state, rx=rx_state,
-        prev_bits=jnp.concatenate([state.prev_bits, bits], axis=1)[:, F:],
-        frame_count=state.frame_count + F)
+        prev_bits=cat[:, F:],
+        frame_count=state.frame_count + F,
+        slips=state.slips + uf * F)
     return FullStepResult(be=be, fe=fe,
                           n_frames=jnp.sum(valid.astype(jnp.int32)),
                           state=new_state)
@@ -108,3 +137,113 @@ def jit_step(cfg: Config, batch: int, frames_per_step: int):
     def step(key, sigma, state):
         return txrx_step(key, sigma, cfg, state, batch, frames_per_step)
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# acquisition phases (WAITING / LEARNING 1-3)
+# ---------------------------------------------------------------------------
+
+class AcqStepResult(NamedTuple):
+    state: TxRxState
+    acq: acquisition.AcqState
+    flag: jnp.ndarray      # (B,) frame-sync lock
+    metric: jnp.ndarray    # (B,) frame-sync peak correlation
+
+
+@functools.lru_cache(maxsize=None)
+def jit_acq_step(cfg: Config, batch: int, norm_bandwidth: float):
+    """One WAITING/LEARNING-1/2 iteration: TX one frame per stream, channel,
+    step-MF acquisition; bits flow through the in-flight buffer so the
+    eventual transmission phase stays aligned."""
+    def step(key, sigma, state: TxRxState, acq: acquisition.AcqState):
+        bits, y, tx_state, ch_state = _tx_and_channel(
+            key, sigma, cfg, state, batch, 1)
+        acq2, flag, uf, metric = acquisition.acq_frame(
+            y, cfg, acq, norm_bandwidth)
+        new_state = TxRxState(
+            tx=tx_state, ch=ch_state, rx=state.rx,
+            prev_bits=jnp.concatenate([state.prev_bits, bits], axis=1)[:, 1:],
+            frame_count=state.frame_count + 1,
+            slips=state.slips + uf.astype(jnp.int32))
+        return AcqStepResult(state=new_state, acq=acq2, flag=flag,
+                             metric=metric)
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_sync_step(cfg: Config, batch: int, frames_per_step: int):
+    """One LEARNING-3 iteration: full tracking chain without FEC decode
+    (reference sequence_learning_3 stops at sync_fine_pf,
+    TX_RX/main.cpp:556-613)."""
+    def step(key, sigma, state: TxRxState):
+        F = frames_per_step
+        bits, y, tx_state, ch_state = _tx_and_channel(
+            key, sigma, cfg, state, batch, F)
+        _none, info, rx_state = rx_frames(y, sigma, cfg, state.rx, F,
+                                          decode=False)
+        new_state = TxRxState(
+            tx=tx_state, ch=ch_state, rx=rx_state,
+            prev_bits=jnp.concatenate([state.prev_bits, bits],
+                                      axis=1)[:, F:],
+            frame_count=state.frame_count + F,
+            slips=state.slips + info["underflow"] * F)
+        return new_state
+    return jax.jit(step)
+
+
+def transplant(rx: RxState, acq: acquisition.AcqState) -> RxState:
+    """Hand the acquisition front-end state over to the tracking chain —
+    the reference's partial rebinding back to the normal path
+    (TX_RX/main.cpp:556-581): coarse PLL frozen at the learned frequency,
+    Gardner/matched-filter/extract/frame-sync state continue seamlessly."""
+    return rx._replace(
+        coarse=acq.smf.coarse,
+        mf=acq.smf.mf[:, 1:],        # FIR history = last T-1 inputs
+        gardner=acq.smf.gardner,
+        extract=acq.extract,
+        fsync=acq.fsync,
+    )
+
+
+def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
+            batch: int, max_waiting: int = 300, learn12: int = 150,
+            learn3: int = 200, verbose: bool = False):
+    """Run WAITING + LEARNING 1&2 + LEARNING 3; returns the TxRxState ready
+    for the transmission phase (monitor counters should start fresh)."""
+    acq = acquisition.acq_init(cfg, batch)
+    step_fast = jit_acq_step(cfg, batch, 1e-4)
+    step_slow = jit_acq_step(cfg, batch, 5e-5)
+    k = 0
+
+    def next_key():
+        nonlocal k
+        k += 1
+        return jax.random.fold_in(key, k)
+
+    # WAITING: until every stream's frame-sync flag (PLL Bn=1e-4)
+    for i in range(max_waiting):
+        r = step_fast(next_key(), sigma, state, acq)
+        state, acq = r.state, r.acq
+        if bool(jnp.all(r.flag)):
+            break
+    if verbose:
+        print(f"# waiting done after {i + 1} frames "
+              f"(metric min {float(jnp.min(r.metric)):.1f})")
+
+    # LEARNING 1 (Bn=1e-4) then LEARNING 2 (Bn=5e-5)
+    for _ in range(learn12):
+        r = step_fast(next_key(), sigma, state, acq)
+        state, acq = r.state, r.acq
+    for _ in range(learn12):
+        r = step_slow(next_key(), sigma, state, acq)
+        state, acq = r.state, r.acq
+    if verbose:
+        nu = -acq.smf.coarse.est_freq
+        print(f"# learning 1&2 done (mixer nu {[f'{float(v):.6f}' for v in nu]})")
+
+    # LEARNING 3: tracking chain, no decode
+    state = state._replace(rx=transplant(state.rx, acq))
+    sync_step = jit_sync_step(cfg, batch, 1)
+    for _ in range(learn3):
+        state = sync_step(next_key(), sigma, state)
+    return state

@@ -18,6 +18,8 @@ def main(argv=None):
     p.add_argument("--streams", type=int, default=8,
                    help="parallel independent sample streams (lane batch)")
     p.add_argument("--frames-per-step", type=int, default=8)
+    p.add_argument("--no-wl-phases", action="store_true",
+                   help="skip the WAITING/LEARNING acquisition phases")
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
     cli.print_trace(cfg, "tx_rx")
@@ -31,6 +33,9 @@ def main(argv=None):
         sigma = jnp.float32(cfg.esn0_to_sigma(esn0))
         state = txrx.txrx_init(cfg, B)
         key = jax.random.fold_in(jax.random.key(args.seed), int(ebn0 * 100))
+        if not cfg.perfect_sync and not args.no_wl_phases:
+            state = txrx.acquire(jax.random.fold_in(key, 2**31 - 1), sigma,
+                                 cfg, state, B, verbose=True)
         be = fe = fra = 0
         t0 = time.perf_counter()
         i = 0

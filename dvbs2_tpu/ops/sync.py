@@ -17,6 +17,7 @@ Genie (PERFECT) variants mirror the reference's test oracles:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvbs2_tpu.config import Config
-from dvbs2_tpu.ops import cplx, filters
+from dvbs2_tpu.ops import cplx, filters, scrambler
 
 
 # ---------------------------------------------------------------------------
@@ -100,15 +101,19 @@ def extract_strobed(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
     work = jnp.stack([work_r, work_i], axis=-1)
     symbols = work[:, :n_out]
     underflow = total < n_out
-    # shift the remainder to the front of the carry
-    rem = jnp.clip(total - n_out, 0, cap)
-    shift_idx = jnp.minimum(n_out + jnp.arange(cap)[None, :], cap + N - 1)
+    # On underflow the reference keeps its accumulated symbols and aborts the
+    # iteration (processing_aborted, Synchronizer_timing.hxx:302): nothing is
+    # consumed, the partial output is garbage, and the harness bumps the
+    # TX->RX frame lag. Mirror that: consume n_out symbols only when full.
+    rem = jnp.where(underflow, total, total - n_out)
+    rem = jnp.clip(rem, 0, cap)
+    shift = jnp.where(underflow, 0, n_out)
+    shift_idx = jnp.minimum(shift[:, None] + jnp.arange(cap)[None, :],
+                            cap + N - 1)
     new_buf = jnp.stack([work_r[brow, shift_idx], work_i[brow, shift_idx]],
                         axis=-1)
     mask = (jnp.arange(cap)[None, :] < rem[:, None])[..., None]
     new_buf = jnp.where(mask, new_buf, 0.0)
-    # on underflow the reference keeps what it has and aborts the iteration;
-    # we keep the partial output and report the flag
     return symbols, ExtractState(buf=new_buf, count=rem), underflow
 
 
@@ -133,6 +138,176 @@ def coarse_perfect(x: jnp.ndarray, freq_shift: float,
                    state: Optional[filters.NcoState] = None):
     """Derotate by the known CFO (Synchronizer_freq_coarse_perfect)."""
     return filters.cfo_mix(x, freq_shift, state, conj=True)
+
+
+# ---------------------------------------------------------------------------
+# coarse frequency PLL (Synchronizer_freq_coarse_DVBS2_aib.cpp)
+# ---------------------------------------------------------------------------
+
+class CoarseState(NamedTuple):
+    """Pilot-aided 2nd-order PLL + DDS mixer state, one per stream.
+
+    Mirrors the reference's members (Synchronizer_freq_coarse_DVBS2_aib.hpp):
+    nu is the DDS mixer frequency (= -estimated_freq quantized to 1e-6), n the
+    persistent phase index of the sine multiplier (phase = 2*pi*nu*n, wraps at
+    1e6 — Multiplier_sine_ccc_naive.cpp:69-74).
+    """
+    nu: jnp.ndarray        # (B,) f32 DDS mixer nu
+    n: jnp.ndarray         # (B,) f32 DDS phase index
+    lf: jnp.ndarray        # (B,) f32 loop_filter_state
+    integ: jnp.ndarray     # (B,) f32 integ_filter_state
+    dds_prev: jnp.ndarray  # (B,) f32 DDS_prev_in
+    prev: jnp.ndarray      # (B, 2) previous pilot symbol
+    prev2: jnp.ndarray     # (B, 2) symbol before that
+    curr_idx: jnp.ndarray  # (B,) i32 symbol index within the PL frame
+    est_freq: jnp.ndarray  # (B,) f32 estimated CFO (cycles/sample)
+
+
+def coarse_init(batch: int, frame_len: int) -> CoarseState:
+    z = jnp.zeros((batch,), jnp.float32)
+    return CoarseState(nu=z, n=z, lf=z, integ=z, dds_prev=z,
+                       prev=jnp.zeros((batch, 2), jnp.float32),
+                       prev2=jnp.zeros((batch, 2), jnp.float32),
+                       curr_idx=jnp.full((batch,), frame_len - 1, jnp.int32),
+                       est_freq=z)
+
+
+def coarse_gains(damping: float, norm_bandwidth: float):
+    """PI gains (K1, K2) for pll_sps=1
+    (Synchronizer_freq_coarse_DVBS2_aib::set_PLL_coeffs)."""
+    kd = 2.0          # phase_error_detector_gain
+    k0 = 1.0          # phase_recovery_gain (= pll_sps)
+    theta = norm_bandwidth / (damping + 0.25 / damping)
+    d = 1.0 + 2.0 * damping * theta + theta * theta
+    kp = (4.0 * damping * theta / d) / (kd * k0)
+    ki = (4.0 * theta * theta / d) / (kd * k0)
+    return kp, ki
+
+
+@functools.lru_cache(maxsize=None)
+def scrambled_pilot_table(modcod: str) -> np.ndarray:
+    """(L, 2) expected scrambled-pilot symbols: 0 for idx<90, else
+    exp(j*pi/2*(R(idx-90)+0.5)) (reference ctor, the PL-scrambled (1+j)/sqrt2
+    pilot). Only the pilot positions are ever read."""
+    cfg = Config(modcod=modcod)
+    L = cfg.pl_frame_size
+    rn = scrambler.pl_scramble_rn(L - 90).astype(np.float64)
+    tab = np.zeros(L, dtype=np.complex128)
+    tab[90:] = np.exp(1j * np.pi / 2 * (rn + 0.5))
+    return cplx.from_np(tab)
+
+
+def coarse_update_phase(cs: CoarseState, spl: jnp.ndarray,
+                        strobe: jnp.ndarray, kp: float, ki: float,
+                        sps: int, table: jnp.ndarray,
+                        frame_len: int) -> CoarseState:
+    """PLL update on one strobed symbol (masked where strobe is False).
+
+    Port of Synchronizer_freq_coarse_DVBS2_aib::update_phase: on scrambled-
+    pilot positions (idx%1476 in [54,90) and idx>=1530) the phase error is
+    imag(spl*p[idx-2]*conj(prev2*p[idx])); PI loop drives the DDS at
+    -estimated_freq.
+    """
+    idx = cs.curr_idx
+    rem = idx % 1476
+    on_pilot = (rem >= 54) & (rem < 90) & (idx >= 1530) & strobe
+    at_reset = (rem == 90) & (idx >= 1530) & strobe
+
+    p2i = (idx - 2) % frame_len
+    pi_cur = table[idx]                                  # (B, 2)
+    pi_p2 = table[p2i]
+    err_c = cplx.mul_conj(cplx.mul(spl, pi_p2), cplx.mul(cs.prev2, pi_cur))
+    e = jnp.where(on_pilot, err_c[..., 1], 0.0)
+
+    lf = cs.lf + e * ki
+    integ = jnp.where(on_pilot, cs.integ + cs.dds_prev, cs.integ)
+    dds_prev = jnp.where(on_pilot, e * kp + lf, cs.dds_prev)
+    est_freq = jnp.where(on_pilot, integ / sps, cs.est_freq)
+    # mixer nu = -estimated_freq quantized to 1e-6 (Multiplier_sine set_nu)
+    nu = jnp.where(on_pilot, jnp.floor(-est_freq * 1e6) / 1e6, cs.nu)
+
+    prev = jnp.where(on_pilot[:, None], spl,
+                     jnp.where(at_reset[:, None], 0.0, cs.prev))
+    prev2 = jnp.where(on_pilot[:, None], cs.prev,
+                      jnp.where(at_reset[:, None], 0.0, cs.prev2))
+    curr_idx = jnp.where(strobe, (idx + 1) % frame_len, idx)
+    return CoarseState(nu=nu, n=cs.n, lf=lf, integ=integ, dds_prev=dds_prev,
+                       prev=prev, prev2=prev2, curr_idx=curr_idx,
+                       est_freq=est_freq)
+
+
+def coarse_mix(x: jnp.ndarray, cs: CoarseState):
+    """Tracking-mode derotation: multiply a (B, N, 2) stream by
+    e^{j 2 pi nu_b n} with per-stream frozen nu and the persistent phase
+    index carried in the state (Synchronizer_freq_coarse::_synchronize =
+    mult.imultiply)."""
+    N = x.shape[1]
+    n = jnp.mod(cs.n[:, None] + jnp.arange(N, dtype=jnp.float32)[None, :],
+                1e6)
+    phase = (2.0 * np.pi) * cs.nu[:, None] * n
+    rot = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+    return cplx.mul(x, rot), cs._replace(n=jnp.mod(cs.n + N, 1e6))
+
+
+# ---------------------------------------------------------------------------
+# step-MF acquisition (Synchronizer_step_mf_cc.cpp:184-208)
+# ---------------------------------------------------------------------------
+
+class StepMfState(NamedTuple):
+    coarse: CoarseState
+    mf: jnp.ndarray          # (B, T, 2) matched-filter shift register
+    gardner: "GardnerState"
+
+
+def step_mf_init(batch: int, cfg: Config) -> StepMfState:
+    taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
+    return StepMfState(
+        coarse=coarse_init(batch, cfg.pl_frame_size),
+        mf=jnp.zeros((batch, len(taps), 2), jnp.float32),
+        gardner=gardner_init(batch, cfg.shp_osf),
+    )
+
+
+def step_mf_scan(x: jnp.ndarray, cfg: Config, state: StepMfState,
+                 norm_bandwidth: float):
+    """Fused per-sample acquisition loop on a (B, N, 2) stream: coarse-PLL
+    DDS mix -> matched-filter step -> Gardner step; every strobed symbol
+    feeds the PLL phase detector (Synchronizer_step_mf_cc::_synchronize).
+
+    Returns (y (B,N,2), strobe (B,N) int8, new state). ``state.coarse.
+    curr_idx`` must be set by the caller from the frame-sync DEL feedback
+    before each frame (see acquisition.py).
+    """
+    B, N, _ = x.shape
+    osf = cfg.shp_osf
+    taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
+    taps_rev = jnp.asarray(taps[::-1].copy())            # h[T-1-j] at slot j
+    g_kp, g_ki = gardner_gains(cfg)
+    c_kp, c_ki = coarse_gains(cfg.sfc_damping, norm_bandwidth)
+    table = jnp.asarray(scrambled_pilot_table(cfg.modcod))
+    L = cfg.pl_frame_size
+
+    def step(st: StepMfState, xi):
+        cs = st.coarse
+        # DDS mix one sample: e^{j 2 pi nu n}
+        phase = (2.0 * np.pi) * cs.nu * cs.n
+        rot = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+        y0 = cplx.mul(xi, rot)
+        n_new = jnp.where(cs.n >= 999999.0, 0.0, cs.n + 1.0)
+        cs = cs._replace(n=n_new)
+        # matched-filter step
+        mf = jnp.concatenate([st.mf[:, 1:], y0[:, None]], axis=1)
+        y1 = jnp.einsum("btc,t->bc", mf, taps_rev)
+        # Gardner step
+        gst, y2, is_strobe = gardner_step(st.gardner, y1, g_kp, g_ki, osf)
+        # PLL phase update on the strobed symbol
+        cs = coarse_update_phase(cs, y2, is_strobe, c_kp, c_ki, osf, table, L)
+        return StepMfState(coarse=cs, mf=mf, gardner=gst), \
+            (y2, is_strobe.astype(jnp.int8))
+
+    xs = x.transpose(1, 0, 2)
+    state, (ys, strobes) = jax.lax.scan(step, state, xs)
+    return ys.transpose(1, 0, 2), strobes.T, state
 
 
 # ---------------------------------------------------------------------------
@@ -175,21 +350,15 @@ def gardner_gains(cfg: Config) -> tuple:
     return (4 * zeta * theta) / d, (4 * theta * theta) / d
 
 
-def gardner_scan(x: jnp.ndarray, cfg: Config,
-                 state: Optional[GardnerState] = None):
-    """Gardner TED + PI loop + NCO + Farrow on a (B, N, 2) stream.
-
-    Returns (y (B,N,2) interpolated, strobe (B,N) int8, new_state). Exact
-    port of the reference's per-sample state machine (4-case dispatch on
+def gardner_step(st: GardnerState, xi: jnp.ndarray, kp: float, ki: float,
+                 osf: int):
+    """One Gardner sample update for B lockstep streams: xi (B, 2) -> (new
+    state, y (B, 2) interpolated, is_strobe (B,) bool). Exact port of the
+    reference's per-sample state machine (4-case dispatch on
     (is_strobe, popcount(history))) — expressed as masked updates so all B
-    streams advance in lockstep on the VPU.
-    """
-    B, N, _ = x.shape
-    osf = cfg.shp_osf
-    kp, ki = gardner_gains(cfg)
+    streams advance in lockstep on the VPU."""
+    B = xi.shape[0]
     inv_osf = 1.0 / osf
-    if state is None:
-        state = gardner_init(B, osf)
 
     def popcount(v):
         c = jnp.zeros_like(v)
@@ -197,52 +366,67 @@ def gardner_scan(x: jnp.ndarray, cfg: Config,
             c = c + ((v >> b) & 1)
         return c
 
+    W = st.lf_out + inv_osf
+    is_strobe = (st.nco < W)
+    hist = ((st.history << 1) % (1 << osf)) + is_strobe.astype(jnp.int32)
+    nset = popcount(hist)
+
+    # farrow output with per-stream mu (recomputed on strobe)
+    mu = jnp.where(is_strobe, st.nco / W, st.mu)
+    b = filters.farrow_taps(mu)                       # (4, B)
+    ext = jnp.concatenate([st.farrow, xi[:, None]], axis=1)  # (B,4,2)
+    y = (b[0][:, None] * ext[:, 0] + b[1][:, None] * ext[:, 1]
+         + b[2][:, None] * ext[:, 2] + b[3][:, None] * ext[:, 3])
+
+    nco = jnp.where(is_strobe, st.nco + 1.0 - W, st.nco - W)
+
+    # TED error only on (strobe, popcount==1)
+    brow = jnp.arange(B)
+    mid_v = st.ted_buf[brow, st.mid]
+    head_v = st.ted_buf[brow, st.head]
+    ted_err = mid_v[:, 0] * (head_v[:, 0] - y[:, 0]) + \
+        mid_v[:, 1] * (head_v[:, 1] - y[:, 1])
+    active = is_strobe & (nset == 1)
+    ted_err = jnp.where(active, ted_err, 0.0)
+
+    # TED buffer update (3 cases; popcount==0 & no strobe: no update)
+    single = (nset == 1)
+    double = (nset > 1)
+    headm1 = (st.head - 1 + osf) % osf
+    buf = st.ted_buf
+    # single: buf[head] = y; shift 1
+    buf1 = buf.at[brow, st.head].set(y)
+    # double: buf[head] = 0, buf[head-1] = y; shift 2
+    buf2 = buf.at[brow, st.head].set(0.0).at[brow, headm1].set(y)
+    buf = jnp.where(single[:, None, None], buf1,
+                    jnp.where(double[:, None, None], buf2, buf))
+    shift = jnp.where(single, 1, jnp.where(double, 2, 0))
+    head = (st.head - shift + 2 * osf) % osf
+    mid = (st.mid - shift + 2 * osf) % osf
+
+    lf_prev = st.lf_prev + ted_err * ki
+    lf_out = jnp.where(active, lf_prev + ted_err * kp, lf_prev)
+
+    new = GardnerState(farrow=ext[:, 1:], ted_buf=buf, head=head,
+                       mid=mid, history=hist, nco=nco, lf_prev=lf_prev,
+                       lf_out=lf_out, mu=mu)
+    return new, y, is_strobe
+
+
+def gardner_scan(x: jnp.ndarray, cfg: Config,
+                 state: Optional[GardnerState] = None):
+    """Gardner TED + PI loop + NCO + Farrow on a (B, N, 2) stream.
+
+    Returns (y (B,N,2) interpolated, strobe (B,N) int8, new_state).
+    """
+    B, N, _ = x.shape
+    osf = cfg.shp_osf
+    kp, ki = gardner_gains(cfg)
+    if state is None:
+        state = gardner_init(B, osf)
+
     def step(st: GardnerState, xi):
-        # xi: (B, 2) current input sample
-        W = st.lf_out + inv_osf
-        is_strobe = (st.nco < W)
-        hist = ((st.history << 1) % (1 << osf)) + is_strobe.astype(jnp.int32)
-        nset = popcount(hist)
-
-        # farrow output with per-stream mu (recomputed on strobe)
-        mu = jnp.where(is_strobe, st.nco / W, st.mu)
-        b = filters.farrow_taps(mu)                       # (4, B)
-        ext = jnp.concatenate([st.farrow, xi[:, None]], axis=1)  # (B,4,2)
-        y = (b[0][:, None] * ext[:, 0] + b[1][:, None] * ext[:, 1]
-             + b[2][:, None] * ext[:, 2] + b[3][:, None] * ext[:, 3])
-
-        nco = jnp.where(is_strobe, st.nco + 1.0 - W, st.nco - W)
-
-        # TED error only on (strobe, popcount==1)
-        brow = jnp.arange(B)
-        mid_v = st.ted_buf[brow, st.mid]
-        head_v = st.ted_buf[brow, st.head]
-        ted_err = mid_v[:, 0] * (head_v[:, 0] - y[:, 0]) + \
-            mid_v[:, 1] * (head_v[:, 1] - y[:, 1])
-        active = is_strobe & (nset == 1)
-        ted_err = jnp.where(active, ted_err, 0.0)
-
-        # TED buffer update (3 cases; popcount==0 & no strobe: no update)
-        single = (nset == 1)
-        double = (nset > 1)
-        headm1 = (st.head - 1 + osf) % osf
-        buf = st.ted_buf
-        # single: buf[head] = y; shift 1
-        buf1 = buf.at[brow, st.head].set(y)
-        # double: buf[head] = 0, buf[head-1] = y; shift 2
-        buf2 = buf.at[brow, st.head].set(0.0).at[brow, headm1].set(y)
-        buf = jnp.where(single[:, None, None], buf1,
-                        jnp.where(double[:, None, None], buf2, buf))
-        shift = jnp.where(single, 1, jnp.where(double, 2, 0))
-        head = (st.head - shift + 2 * osf) % osf
-        mid = (st.mid - shift + 2 * osf) % osf
-
-        lf_prev = st.lf_prev + ted_err * ki
-        lf_out = jnp.where(active, lf_prev + ted_err * kp, lf_prev)
-
-        new = GardnerState(farrow=ext[:, 1:], ted_buf=buf, head=head,
-                           mid=mid, history=hist, nco=nco, lf_prev=lf_prev,
-                           lf_out=lf_out, mu=mu)
+        new, y, is_strobe = gardner_step(st, xi, kp, ki, osf)
         return new, (y, is_strobe.astype(jnp.int8))
 
     xs = x.transpose(1, 0, 2)                             # (N, B, 2)
@@ -253,8 +437,6 @@ def gardner_scan(x: jnp.ndarray, cfg: Config,
 # ---------------------------------------------------------------------------
 # frame synchronization (Synchronizer_frame_DVBS2_fast/aib)
 # ---------------------------------------------------------------------------
-
-import functools
 
 from dvbs2_tpu.ops import framer as _framer
 from dvbs2_tpu.config import PLS_WORDS
