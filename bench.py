@@ -6,15 +6,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 24.5 Mb/s — the reference's BB sim throughput on its multi-core
 x86 host (refs/TX_RX_BB/QPSK_8_9.txt:41, SPA-50; see BASELINE.md).
 
-Measurement notes: PRNG keys are salted with wall-clock nanoseconds so every
-step is a genuinely fresh computation (the tunneled dev TPU memoizes
-(executable, inputs) pairs, which would otherwise report cache-hit latency),
-and the result is the best of several windows (the tunnel's per-process
-throughput varies with host load; best-of windows recovers the device's
-actual steady-state rate).
+Measurement notes (tunneled dev TPU): `block_until_ready` does NOT force
+execution through the axon tunnel (results are materialized lazily on value
+fetch), and (executable, inputs) pairs are memoized. So the harness (a) salts
+PRNG keys with wall-clock nanoseconds, (b) chains all steps of a run inside
+ONE jitted `lax.scan` and fetches the aggregated error counter to the host —
+forcing real end-to-end execution — and (c) times two run lengths and uses
+the difference, which cancels the tunnel round-trip and dispatch overhead.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -29,28 +31,41 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     from dvbs2_tpu.config import Config
-    from dvbs2_tpu.chains.txrx_bb import jit_step
+    from dvbs2_tpu.chains.txrx_bb import txrx_bb_step
 
     batch = int(os.environ.get("BENCH_BATCH", "512"))
-    n_rep = int(os.environ.get("BENCH_REPS", "8"))
-    n_win = int(os.environ.get("BENCH_WINDOWS", "4"))
+    n_short = int(os.environ.get("BENCH_REPS_SHORT", "2"))
+    n_long = int(os.environ.get("BENCH_REPS_LONG", "12"))
+    n_win = int(os.environ.get("BENCH_WINDOWS", "3"))
     cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10)
-    fn = jit_step(cfg, batch)
     sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
     salt = time.time_ns() % (2**31)
     key = jax.random.key(salt)
 
-    # compile + warmup
-    r = fn(key, sigma)
-    r.be.block_until_ready()
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n_steps, key, sigma):
+        def body(carry, i):
+            r = txrx_bb_step(jax.random.fold_in(key, i), sigma, cfg, batch)
+            be, fe = carry
+            return (be + r.be, fe + r.fe), None
+        (be, fe), _ = jax.lax.scan(
+            body, (jnp.int32(0), jnp.int32(0)), jnp.arange(n_steps))
+        return be, fe
+
+    # compile + warmup both lengths; int() forces real execution
+    int(run(n_short, key, sigma)[0])
+    int(run(n_long, key, sigma)[0])
 
     best_dt = float("inf")
     for w in range(n_win):
+        kw = jax.random.fold_in(key, 1000 + w)
         t0 = time.perf_counter()
-        for i in range(n_rep):
-            r = fn(jax.random.fold_in(key, w * n_rep + i + 1), sigma)
-        r.be.block_until_ready()
-        best_dt = min(best_dt, (time.perf_counter() - t0) / n_rep)
+        int(run(n_short, kw, sigma)[0])
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(run(n_long, kw, sigma)[0])
+        t_long = time.perf_counter() - t0
+        best_dt = min(best_dt, (t_long - t_short) / (n_long - n_short))
     mbps = batch * cfg.K_bch / best_dt / 1e6
 
     print(json.dumps({

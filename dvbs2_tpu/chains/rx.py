@@ -133,7 +133,8 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
     llr = interleaver.deinterleave(llr, cfg.itl_n_cols, cfg.read_order)
     post = ldpc.decode(llr, cfg.cod, n_ite=cfg.ldpc_nite,
                        implem=cfg.ldpc_implem,
-                       norm_factor=cfg.ldpc_norm_factor)
+                       norm_factor=cfg.ldpc_norm_factor,
+                       syndrome_exit=cfg.ldpc_syndrome_exit)
     hard = ldpc.hard_decision(post)[:, :cfg.N_bch]
     info_bits, _ok = bch.decode(hard, cfg.K_bch)
     bits = scrambler.bb_scramble(info_bits).reshape(B, n_frames, cfg.K_bch)

@@ -52,7 +52,8 @@ def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config) -> jnp.nd
     llr = modem.demodulate(sym, sigma, cfg.mod)
     llr = interleaver.deinterleave(llr, cfg.itl_n_cols, cfg.read_order)
     post = ldpc.decode(llr, cfg.cod, n_ite=cfg.ldpc_nite, implem=cfg.ldpc_implem,
-                       norm_factor=cfg.ldpc_norm_factor)
+                       norm_factor=cfg.ldpc_norm_factor,
+                       syndrome_exit=cfg.ldpc_syndrome_exit)
     hard = ldpc.hard_decision(post)[:, :cfg.N_bch]
     info, _ok = bch.decode(hard, cfg.K_bch)
     return scrambler.bb_scramble(info)      # BB descramble == scramble

@@ -32,6 +32,9 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
     d.add_argument("--dec-ite", type=int, default=50)
     d.add_argument("--dec-implem", default="SPA", choices=["SPA", "MS", "NMS"])
     d.add_argument("--dec-norm", type=float, default=0.875)
+    d.add_argument("--dec-no-synd", action="store_true",
+                   help="disable syndrome-based early stopping (aff3ct "
+                        "--dec-no-synd)")
 
     e = p.add_argument_group("est / sync")
     e.add_argument("--est-type", default="DVBS2", choices=["DVBS2", "PERFECT"])
@@ -73,6 +76,7 @@ def config_from_args(args) -> Config:
         n_frames=args.sim_inter_fra,
         ldpc_nite=args.dec_ite, ldpc_implem=args.dec_implem,
         ldpc_norm_factor=args.dec_norm,
+        ldpc_syndrome_exit=not args.dec_no_synd,
         est_type=args.est_type, perfect_sync=args.perfect_sync,
         chn_type=args.chn_type,
         chn_max_freq_shift=args.chn_max_freq_shift,

@@ -54,6 +54,9 @@ class Config:
     ldpc_nite: int = 50
     ldpc_implem: str = "SPA"          # SPA | MS | NMS
     ldpc_norm_factor: float = 0.875   # NMS normalization factor
+    # syndrome-based early stop; aff3ct BP decoders default this ON and the
+    # reference app never passes --dec-no-synd, so ON is the parity default
+    ldpc_syndrome_exit: bool = True
     # estimator / sync genie toggles
     est_type: str = "DVBS2"           # DVBS2 | PERFECT
     perfect_sync: bool = False

@@ -176,6 +176,19 @@ def _gf_mul(a, b, exp, log):
     return jnp.where(z, 0, prod)
 
 
+def _gf_mul_bitplane(a, b):
+    """Batched GF(2^14) multiply with NO table gathers: carryless shift-xor
+    polynomial product + static modular reduction — pure elementwise VPU int
+    ops (TPU gathers from a 16k table cost ~1000x an elementwise op)."""
+    res = jnp.zeros_like(a)
+    for j in range(BCH_M):
+        res = res ^ jnp.where((b >> j) & 1 != 0, a << j, 0)
+    prim = BCH_PRIM_POLY  # x^14 + x^5 + x^3 + x + 1
+    for j in range(2 * BCH_M - 2, BCH_M - 1, -1):
+        res = res ^ jnp.where((res >> j) & 1 != 0, prim << (j - BCH_M), 0)
+    return res
+
+
 @functools.lru_cache(maxsize=None)
 def _chien_matrix(N: int) -> np.ndarray:
     """((t+1)*14, N*14) GF(2) matrix turning locator-coefficient bits into
@@ -233,43 +246,39 @@ def decode(bits: jnp.ndarray, K: int) -> tuple:
 
 def _bm_chien(bits, synd, has_err, exp, log, N):
     F = bits.shape[0]
-    # Berlekamp-Massey (Massey form), batched over F.
+    # Inversionless Berlekamp-Massey (iBM, the standard hardware form):
+    # C <- b*C ^ d*D scales the locator by a constant, preserving its roots
+    # and degree, and needs no GF inversion. D carries x^m * B implicitly via
+    # one STATIC shift per step (vs the Massey form's per-frame dynamic
+    # shift), and all GF multiplies are bit-plane shift-xors — the whole loop
+    # is elementwise VPU integer math with zero gathers.
     TP1 = BCH_T + 1
+    W = 2 * BCH_T + 1
     # derive the constant initial carry from the input so its varying type
     # matches under shard_map (see ops/ldpc.py decode for the same pattern)
     z = 0 * synd[:, 0]
-    C0 = (jnp.zeros((F, 2 * BCH_T + 1), dtype=jnp.int32)
-          .at[:, 0].set(1)) + z[:, None]
-    B0 = C0
-    state0 = (C0, B0, z, 1 + z, 1 + z)  # C, B, L, m, b
+    C0 = (jnp.zeros((F, W), dtype=jnp.int32).at[:, 0].set(1)) + z[:, None]
+    D0 = (jnp.zeros((F, W), dtype=jnp.int32).at[:, 1].set(1)) + z[:, None]
+    state0 = (C0, D0, z, 1 + z)  # C, D=x^m*B, L, b
 
-    ks = jnp.arange(2 * BCH_T + 1)
+    # sliding syndrome window: padded[:, n + W-1 - k] = S_{n-k} (0 for n<k)
+    padded = jnp.pad(synd, ((0, 0), (W - 1, 0)))
 
     def bm_step(n, state):
-        C, B, L, m, b = state
-        # discrepancy d = S_n + sum_{i=1..L} C_i * S_{n-i}
-        idx = n - ks  # S index for coefficient k
-        valid = (ks >= 1) & (ks <= L[:, None]) & (idx >= 0)
-        s_gather = jnp.where(valid, synd[:, jnp.clip(idx, 0, 2 * BCH_T - 1)], 0)
-        terms = _gf_mul(C, s_gather, exp, log)
-        d = synd[:, n] ^ jax.lax.reduce(jnp.where(valid, terms, 0),
-                                        jnp.int32(0), jax.lax.bitwise_xor, (1,))
-        # shift B by m: B_shift[k] = B[k - m]
-        kk = ks[None, :] - m[:, None]
-        B_shift = jnp.where(kk >= 0,
-                            jnp.take_along_axis(B, jnp.clip(kk, 0, None), axis=1), 0)
-        coef = _gf_mul(d, exp[(_ORDER - log[jnp.maximum(b, 1)]) % _ORDER], exp, log)
-        C_new = C ^ _gf_mul(coef[:, None], B_shift, exp, log)
-        update = (d != 0)
-        grow = update & (2 * L <= n)
-        C = jnp.where(update[:, None], C_new, C)
-        B = jnp.where(grow[:, None], state[0], B)   # old C
-        L_new = jnp.where(grow, n + 1 - L, L)
+        C, D, L, b = state
+        # discrepancy d = XOR_k C_k * S_{n-k} (C_k = 0 beyond degree L)
+        win = jax.lax.dynamic_slice_in_dim(padded, n, W, axis=1)[:, ::-1]
+        d = jax.lax.reduce(_gf_mul_bitplane(C, win), jnp.int32(0),
+                           jax.lax.bitwise_xor, (1,))
+        C_new = _gf_mul_bitplane(b[:, None], C) ^ _gf_mul_bitplane(d[:, None], D)
+        grow = (d != 0) & (2 * L <= n)
+        D_base = jnp.where(grow[:, None], C, D)     # old C on length change
+        D = jnp.pad(D_base, ((0, 0), (1, 0)))[:, :W]  # D <- x * D (static)
+        L = jnp.where(grow, n + 1 - L, L)
         b = jnp.where(grow, d, b)
-        m = jnp.where(grow, 1, m + 1)
-        return (C, B, L_new, m, b)
+        return (C_new, D, L, b)
 
-    C, _, L, _, _ = jax.lax.fori_loop(0, 2 * BCH_T, bm_step, state0)
+    C, _, L, _ = jax.lax.fori_loop(0, 2 * BCH_T, bm_step, state0)
     C = C[:, :TP1]  # locator degree <= t when correctable
 
     # Chien search as one MXU matmul: locator bits x alpha-power planes.

@@ -155,14 +155,17 @@ def _check_update(Lq: jnp.ndarray, implem: str, alpha: float):
 
 
 def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
-           norm_factor: float = 0.875, use_pallas: str = "auto") -> jnp.ndarray:
+           norm_factor: float = 0.875, use_pallas: str = "auto",
+           syndrome_exit: bool = True) -> jnp.ndarray:
     """(F, N) channel LLRs (positive => bit 0) -> (F, N) posterior LLRs.
 
     Grouped-layered BP with roll-only layer updates; ``implem`` in
     {SPA, MS, NMS} mirroring the reference's --dec-implem (DVBS2.cpp:88).
-    On TPU the (N)MS path dispatches to the VMEM-resident Pallas kernel
-    (ops/ldpc_pallas.py, ~5x the XLA version); ``use_pallas`` in
-    {"auto", "never", "always"}.
+    ``syndrome_exit`` stops iterating once every check's sign parity is
+    satisfied (aff3ct's default-on syndrome check; its --dec-no-synd turns
+    the equivalent off). On TPU the (N)MS path dispatches to the
+    VMEM-resident Pallas kernel (ops/ldpc_pallas.py, ~5x the XLA version);
+    ``use_pallas`` in {"auto", "never", "always"}.
     """
     if implem in ("MS", "NMS") and use_pallas != "never":
         on_tpu = jax.default_backend() not in ("cpu",)
@@ -170,7 +173,8 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
             from dvbs2_tpu.ops import ldpc_pallas
             alpha = norm_factor if implem == "NMS" else 1.0
             return ldpc_pallas.decode_nms(llr, rate, n_ite=n_ite,
-                                          norm_factor=alpha)
+                                          norm_factor=alpha,
+                                          syndrome_exit=syndrome_exit)
     s = build_structs(rate)
     F, N = llr.shape
     assert N == N_LDPC
@@ -191,7 +195,7 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
     if implem in ("MS", "NMS"):
         alpha = norm_factor if implem == "NMS" else 1.0
         return _decode_minsum_compressed(lt, L_info0, L_par0, s, n_ite,
-                                         alpha, F)
+                                         alpha, F, syndrome_exit)
 
     # derive the zero message state from the input so its sharding/varying
     # type matches under shard_map (a plain jnp.zeros is unvarying and the
@@ -220,6 +224,9 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
 
         Rnew = _check_update(Lq, implem, norm_factor)
         post = Lq + Rnew                                 # updated posteriors
+        # hard-decision syndrome: a check is satisfied iff the sign parity of
+        # its POSTERIORS is even (v2c parity can stay odd on a valid codeword)
+        unsat_r = jnp.any(jnp.sum((post < 0).astype(jnp.int32), axis=0) % 2 == 1)
 
         for e in range(d_info):
             g, sh = int(groups[r, e]), int(shifts[r, e])
@@ -233,23 +240,36 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
             L_par[q - 1] = jnp.concatenate(
                 [back[:GROUP - 1], L_par[q - 1][GROUP - 1:]], axis=0)
         R[r] = Rnew
-        return tuple(L_info), tuple(L_par), tuple(R)
+        return tuple(L_info), tuple(L_par), tuple(R), unsat_r
 
-    def one_iteration(_, carry):
-        L_info, L_par, R = carry
+    def one_iteration(carry):
+        i, _, L_info, L_par, R = carry
+        unsat = jnp.bool_(False)
         for r in range(q):
-            L_info, L_par, R = one_layer(r, L_info, L_par, R)
-        return (L_info, L_par, R)
+            L_info, L_par, R, unsat_r = one_layer(r, L_info, L_par, R)
+            unsat = unsat | unsat_r
+        return (i + 1, ~unsat, L_info, L_par, R)
 
-    L_info, L_par, _ = jax.lax.fori_loop(0, n_ite, one_iteration,
-                                         (L_info0, L_par0, R0))
+    def cond(carry):
+        i, done, *_ = carry
+        keep = i < n_ite
+        if syndrome_exit:
+            keep = keep & ~done
+        return keep
+
+    # done0 derives from the data so its varying type under shard_map matches
+    # the loop-updated value (cf. the zf trick above)
+    _, _, L_info, L_par, _ = jax.lax.while_loop(
+        cond, one_iteration,
+        (jnp.int32(0), zf > 0.5, L_info0, L_par0, R0))
     out_info = jnp.concatenate(L_info, axis=0).reshape(s.K, F)
     out_par = jnp.stack(L_par).transpose(1, 0, 2).reshape(s.NmK, F)
     return jnp.concatenate([out_info, out_par], axis=0).T
 
 
 def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
-                              n_ite: int, alpha: float, F: int):
+                              n_ite: int, alpha: float, F: int,
+                              syndrome_exit: bool = True):
     """(N)MS layered decode with COMPRESSED per-check state.
 
     Instead of the full (q, dc, 360, F) message tensor, each check keeps
@@ -311,11 +331,18 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
             mag = jnp.where(nam == e, nm2, nm1)
             return a * sign * mag
 
+        # hard-decision syndrome: parity of POSTERIOR signs per check (v2c
+        # sign parity can stay odd at a fixpoint even on a valid codeword)
+        hs = jnp.zeros(Lq.shape[1:], jnp.bool_)
         for e in range(d_info):
             g, sh = int(groups[r, e]), int(shifts[r, e])
-            L_info[g] = jnp.roll(Lq[e] + rnew(e), -sh, axis=0)
+            post_e = Lq[e] + rnew(e)
+            hs = jnp.logical_xor(hs, post_e < 0)
+            L_info[g] = jnp.roll(post_e, -sh, axis=0)
         L_par[r] = Lq[d_info] + rnew(d_info)
+        hs = jnp.logical_xor(hs, L_par[r] < 0)
         post_prev = Lq[d_info + 1] + rnew(d_info + 1)
+        hs = jnp.logical_xor(hs, post_prev < 0)
         if r > 0:
             L_par[r - 1] = post_prev
         else:
@@ -324,17 +351,27 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
                 [back[:GROUP - 1], L_par[q - 1][GROUP - 1:]], axis=0)
         m1[r], m2[r], am[r], sg[r] = nm1, nm2, nam, nsg
         return (tuple(L_info), tuple(L_par), tuple(m1), tuple(m2),
-                tuple(am), tuple(sg))
+                tuple(am), tuple(sg), jnp.any(hs))
 
-    def one_iteration(_, carry):
-        L_info, L_par, m1, m2, am, sg = carry
+    def one_iteration(carry):
+        i, _, L_info, L_par, m1, m2, am, sg = carry
+        unsat = jnp.bool_(False)
         for r in range(q):
-            L_info, L_par, m1, m2, am, sg = one_layer(
+            L_info, L_par, m1, m2, am, sg, unsat_r = one_layer(
                 r, L_info, L_par, m1, m2, am, sg)
-        return (L_info, L_par, m1, m2, am, sg)
+            unsat = unsat | unsat_r
+        return (i + 1, ~unsat, L_info, L_par, m1, m2, am, sg)
 
-    L_info, L_par, *_ = jax.lax.fori_loop(
-        0, n_ite, one_iteration, (L_info0, L_par0, m1_0, m2_0, am_0, sg_0))
+    def cond(carry):
+        i, done, *_ = carry
+        keep = i < n_ite
+        if syndrome_exit:
+            keep = keep & ~done
+        return keep
+
+    _, _, L_info, L_par, *_ = jax.lax.while_loop(
+        cond, one_iteration,
+        (jnp.int32(0), zf > 0.5, L_info0, L_par0, m1_0, m2_0, am_0, sg_0))
     out_info = jnp.concatenate(L_info, axis=0).reshape(s.K, F)
     out_par = jnp.stack(L_par).transpose(1, 0, 2).reshape(s.NmK, F)
     return jnp.concatenate([out_info, out_par], axis=0).T

@@ -29,6 +29,7 @@ from dvbs2_tpu.ops.ldpc import build_structs
 
 F_BLK = 128
 _BIG = 1e9
+_DEBUG_PRINT = False
 
 
 def _roll(x, shift):
@@ -39,7 +40,8 @@ def _roll(x, shift):
     return pltpu.roll(x, shift=shift, axis=0)
 
 
-def _make_kernel(rate: str, n_ite: int, alpha: float):
+def _make_kernel(rate: str, n_ite: int, alpha: float,
+                 syndrome_exit: bool = True):
     s = build_structs(rate)
     G, q, dc, d_info = s.n_groups, s.q, s.dc, s.dc - 2
     K = s.K
@@ -120,15 +122,21 @@ def _make_kernel(rate: str, n_ite: int, alpha: float):
             # Order: parity edges FIRST (their lq() reads L_ref[par_rows]
             # which pass 2 never needs again), then info edges.
             nsg = jnp.zeros((GROUP, F_BLK), jnp.int32)
+            # hard-decision syndrome: parity of POSTERIOR signs over the
+            # check's edges (v2c sign parity can stay odd at a fixpoint even
+            # when the hard decisions form a valid codeword)
+            hs = jnp.zeros((GROUP, F_BLK), jnp.bool_)
 
             def post(e):
-                nonlocal nsg
+                nonlocal nsg, hs
                 v = lq(e)
                 bite = jnp.logical_xor(sp, v < 0)
                 nsg = nsg | (bite.astype(jnp.int32) << e)
                 sign = 1.0 - 2.0 * bite.astype(jnp.float32)
                 mag = jnp.where(nam == e, nm2, nm1)
-                return v + a * sign * mag
+                out = v + a * sign * mag
+                hs = jnp.logical_xor(hs, out < 0)
+                return out
 
             p_prev = post(d_info + 1)
             p_self = post(d_info)
@@ -147,13 +155,27 @@ def _make_kernel(rate: str, n_ite: int, alpha: float):
             m2_ref[r * GROUP:(r + 1) * GROUP] = nm2
             am_ref[r * GROUP:(r + 1) * GROUP] = nam
             sg_ref[r * GROUP:(r + 1) * GROUP] = nsg
+            # count of unsatisfied checks (odd posterior-sign parity); a full
+            # -array integer sum lowers cheaply in Mosaic
+            return jnp.sum(hs.astype(jnp.int32))
 
-        def body(_, carry):
+        def body(carry):
+            i, _ = carry
+            n_unsat = jnp.int32(0)
             for r in range(q):
-                one_layer(r)
-            return carry
+                n_unsat = n_unsat + one_layer(r)
+            if _DEBUG_PRINT:
+                pl.debug_print("ite {} n_unsat {}", i, n_unsat)
+            return (i + 1, n_unsat == 0)
 
-        jax.lax.fori_loop(0, n_ite, body, jnp.int32(0))
+        def cond(carry):
+            i, done = carry
+            keep = i < n_ite
+            if syndrome_exit:
+                keep = jnp.logical_and(keep, jnp.logical_not(done))
+            return keep
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
         store = pltpu.make_async_copy(L_ref, out_hbm.at[:, cols], sem_out)
         store.start()
         store.wait()
@@ -163,8 +185,8 @@ def _make_kernel(rate: str, n_ite: int, alpha: float):
 
 @functools.lru_cache(maxsize=None)
 def _build_call(rate: str, n_ite: int, alpha: float, n_blocks: int,
-                interpret: bool):
-    kernel = _make_kernel(rate, n_ite, alpha)
+                interpret: bool, syndrome_exit: bool = True):
+    kernel = _make_kernel(rate, n_ite, alpha, syndrome_exit)
     s = build_structs(rate)
     return pl.pallas_call(
         kernel,
@@ -190,8 +212,15 @@ def _build_call(rate: str, n_ite: int, alpha: float, n_blocks: int,
 
 def decode_nms(llr: jnp.ndarray, rate: str, n_ite: int = 10,
                norm_factor: float = 0.875,
-               interpret: bool = False) -> jnp.ndarray:
-    """(F, N) channel LLRs -> (F, N) posteriors; F padded to 128 blocks."""
+               interpret: bool = False,
+               syndrome_exit: bool = True) -> jnp.ndarray:
+    """(F, N) channel LLRs -> (F, N) posteriors; F padded to 128 blocks.
+
+    With ``syndrome_exit`` each 128-frame block stops iterating as soon as
+    all of ITS frames satisfy every parity check — finer-grained than the
+    XLA path's whole-batch exit, so high-SNR batches pay only for their
+    slowest 128-frame block rather than the slowest frame overall.
+    """
     s = build_structs(rate)
     K, q = s.K, s.q
     F, N = llr.shape
@@ -204,7 +233,7 @@ def decode_nms(llr: jnp.ndarray, rate: str, n_ite: int = 10,
     par = lt[K:].reshape(GROUP, q, Fp).transpose(1, 0, 2).reshape(q * GROUP, Fp)
     lt = jnp.concatenate([lt[:K], par], axis=0)
     call = _build_call(rate, n_ite, float(norm_factor), Fp // F_BLK,
-                       interpret)
+                       interpret, syndrome_exit)
     out = call(lt)
     out_par = out[K:].reshape(q, GROUP, Fp).transpose(1, 0, 2).reshape(
         s.NmK, Fp)
