@@ -131,7 +131,7 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
         sg = estimator.estimate_sigma(xfec)
     llr = modem.demodulate(xfec, sg, cfg.mod)
     llr = interleaver.deinterleave(llr, cfg.itl_n_cols, cfg.read_order)
-    post = ldpc.decode(llr, cfg.cod, n_ite=cfg.ldpc_nite,
+    post = ldpc.decode(llr, cfg.ldpc_code, n_ite=cfg.ldpc_nite,
                        implem=cfg.ldpc_implem,
                        norm_factor=cfg.ldpc_norm_factor,
                        syndrome_exit=cfg.ldpc_syndrome_exit)

@@ -34,7 +34,7 @@ def tx_bb(bits: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """(F, K_bch) info bits -> (F, pl_frame_size) unit-energy symbols."""
     scr = scrambler.bb_scramble(bits)
     bch_cw = bch.encode(scr, cfg.K_bch)
-    ldpc_cw = ldpc.encode(bch_cw, cfg.cod)
+    ldpc_cw = ldpc.encode(bch_cw, cfg.ldpc_code)
     itl = interleaver.interleave(ldpc_cw, cfg.itl_n_cols, cfg.read_order)
     sym = modem.modulate(itl, cfg.mod)
     pl = framer.frame(sym, cfg.modcod)
@@ -51,7 +51,7 @@ def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config) -> jnp.nd
         sigma = estimator.estimate_sigma(sym)
     llr = modem.demodulate(sym, sigma, cfg.mod)
     llr = interleaver.deinterleave(llr, cfg.itl_n_cols, cfg.read_order)
-    post = ldpc.decode(llr, cfg.cod, n_ite=cfg.ldpc_nite, implem=cfg.ldpc_implem,
+    post = ldpc.decode(llr, cfg.ldpc_code, n_ite=cfg.ldpc_nite, implem=cfg.ldpc_implem,
                        norm_factor=cfg.ldpc_norm_factor,
                        syndrome_exit=cfg.ldpc_syndrome_exit)
     hard = ldpc.hard_decision(post)[:, :cfg.N_bch]

@@ -24,13 +24,39 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
     g.add_argument("-e", "--max-fe", type=int, default=100)
     g.add_argument("-F", "--sim-inter-fra", type=int, default=32,
                    help="inter-frame batch per device (TPU lane batch)")
-    g.add_argument("--sim-stats", action="store_true")
+    g.add_argument("--sim-stats", action="store_true",
+                   help="print per-stage timing statistics at the end "
+                        "(reference: --sim-stats, Stats::show)")
+    g.add_argument("-d", "--sim-dbg", action="store_true",
+                   help="dump per-stage socket data for the first batch")
+    g.add_argument("--sim-dbg-limit", type=int, default=16,
+                   help="max values printed per socket with --sim-dbg")
+    g.add_argument("--sim-noise-ref", type=float, default=0.0,
+                   help="reference Es/N0 for the fading sequence")
+    g.add_argument("--sim-noise-path", default=None,
+                   help="Es/N0 sequence file (lines of 'esn0 n_frames') "
+                        "driving the fading multiplier")
+    g.add_argument("--ter-freq", type=int, default=500,
+                   help="terminal refresh period in ms (0 = only final rows)")
+    g.add_argument("--stats-path", default=None,
+                   help="write probe/stats dumps to this path prefix")
+    g.add_argument("--section", default=None,
+                   help="run only this phase section (reference --section)")
+    g.add_argument("--snk-path", default="sink.out")
+    g.add_argument("--dump-filename", default="dump")
     g.add_argument("--max-frames", type=int, default=10_000_000)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--tx-time-limit", type=float, default=0.0,
+                   help="stop TX after this many seconds (0 = unlimited)")
+    g.add_argument("--rx-time-limit", type=float, default=0.0)
 
     d = p.add_argument_group("dec (LDPC)")
     d.add_argument("--dec-ite", type=int, default=50)
     d.add_argument("--dec-implem", default="SPA", choices=["SPA", "MS", "NMS"])
+    d.add_argument("--dec-simd", default="", choices=["", "INTER", "INTRA"],
+                   help="accepted for command-line parity; the TPU build "
+                        "always batches frames (INTER) and vectorizes "
+                        "within the frame (INTRA)")
     d.add_argument("--dec-norm", type=float, default=0.875)
     d.add_argument("--dec-no-synd", action="store_true",
                    help="disable syndrome-based early stopping (aff3ct "
@@ -39,12 +65,23 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
     e = p.add_argument_group("est / sync")
     e.add_argument("--est-type", default="DVBS2", choices=["DVBS2", "PERFECT"])
     e.add_argument("--perfect-sync", action="store_true")
+    e.add_argument("--no-wl-phases", action="store_true",
+                   help="skip the waiting/learning acquisition phases")
 
     c = p.add_argument_group("chn")
     c.add_argument("--chn-type", default="AWGN",
                    choices=["AWGN", "USER_ADD", "SYNCHRO"])
+    c.add_argument("--chn-path", default=None,
+                   help="noise sample file for --chn-type USER_ADD")
     c.add_argument("--chn-max-freq-shift", type=float, default=0.0)
     c.add_argument("--chn-max-delay", type=float, default=2.0)
+
+    sg = p.add_argument_group("src")
+    sg.add_argument("--src-type", default="RAND",
+                    choices=["RAND", "USER", "USER_BIN", "AZCW"])
+    sg.add_argument("--src-path", default=None,
+                    help=".src text file (USER) or binary stream (USER_BIN)")
+    sg.add_argument("--src-no-loop", action="store_true")
 
     s = p.add_argument_group("shp")
     s.add_argument("--shp-grp-delay", type=int, default=20)

@@ -57,6 +57,9 @@ class Config:
     # syndrome-based early stop; aff3ct BP decoders default this ON and the
     # reference app never passes --dec-no-synd, so ON is the parity default
     ldpc_syndrome_exit: bool = True
+    # LDPC table construction variant ('' = frozen default; 'v2s<seed>'/'r1'
+    # address specific candidates, used by tools/parity_sweep.py selection)
+    ldpc_variant: str = ""
     # estimator / sync genie toggles
     est_type: str = "DVBS2"           # DVBS2 | PERFECT
     perfect_sync: bool = False
@@ -106,6 +109,11 @@ class Config:
     @property
     def N_bch(self) -> int:
         return {"3/5": 9720, "8/9": 14400}[self.cod]
+
+    @property
+    def ldpc_code(self) -> str:
+        """Rate string handed to ops.ldpc, optionally variant-suffixed."""
+        return f"{self.cod}@{self.ldpc_variant}" if self.ldpc_variant else self.cod
 
     @property
     def K_ldpc(self) -> int:

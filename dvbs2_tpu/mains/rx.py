@@ -16,7 +16,6 @@ from dvbs2_tpu.io.radio import FileRadio
 def main(argv=None):
     p = cli.build_parser("dvbs2_tpu.rx")
     p.add_argument("--rx-frames", type=int, default=48)
-    p.add_argument("--snk-path", default="sink.out")
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
     radio = FileRadio(args.rad_rx_file_path, "r",

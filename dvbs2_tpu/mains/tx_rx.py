@@ -18,8 +18,6 @@ def main(argv=None):
     p.add_argument("--streams", type=int, default=8,
                    help="parallel independent sample streams (lane batch)")
     p.add_argument("--frames-per-step", type=int, default=8)
-    p.add_argument("--no-wl-phases", action="store_true",
-                   help="skip the WAITING/LEARNING acquisition phases")
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
     cli.print_trace(cfg, "tx_rx")

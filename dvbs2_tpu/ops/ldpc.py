@@ -37,14 +37,18 @@ from dvbs2_tpu.data.ldpc_tables import GROUP, LdpcTable, N_LDPC, get_table
 
 @dataclasses.dataclass(frozen=True)
 class LdpcStructs:
-    """Static per-rate structures shared by encoder and decoder."""
+    """Static per-rate structures shared by encoder and decoder.
+
+    Layers are RAGGED: layer r has its own info-edge list (group, shift),
+    a group may appear several times in one layer (a table row with
+    repeated residues mod q — the genuine EN 302 307 tables have these),
+    and per-layer check degrees differ.  Write-back therefore uses DELTA
+    accumulation (L_g += roll^-1(R_new - R_old)) instead of posterior
+    overwrite, which reduces to the same thing when a group appears once."""
     K: int
     q: int
-    dc: int                   # uniform check degree (info + 2 parity edges)
-    layer_groups: np.ndarray  # (q, dc-2) int32: group id per layer info edge
-    layer_shifts: np.ndarray  # (q, dc-2) int32: cyclic shift (a // q)
-    vi_info: np.ndarray       # (q, 360, dc-2) int32: info-edge variable index
-    layer_check: np.ndarray   # (q, 360) int32: global check index c = r + q*t
+    layer_edges: tuple        # per layer r: tuple of (group, shift) pairs
+    max_dc: int               # max over layers of (len(edges) + 2)
 
     @property
     def NmK(self) -> int:
@@ -54,38 +58,44 @@ class LdpcStructs:
     def n_groups(self) -> int:
         return self.K // GROUP
 
+    def dc_r(self, r: int) -> int:
+        return len(self.layer_edges[r]) + 2
+
 
 @functools.lru_cache(maxsize=None)
 def build_structs(rate: str) -> LdpcStructs:
     t: LdpcTable = get_table(rate)
-    K, q, NmK = t.K, t.q, t.NmK
-    d_info = t.n_info_edges // NmK          # info edges per check (uniform)
-    dc = d_info + 2
-
-    ts = np.arange(GROUP)
-    layer_groups = np.zeros((q, d_info), dtype=np.int32)
-    layer_shifts = np.zeros((q, d_info), dtype=np.int32)
-    vi_info = np.zeros((q, GROUP, d_info), dtype=np.int32)
-    layer_check = np.zeros((q, GROUP), dtype=np.int32)
+    K, q = t.K, t.q
+    layer_edges = []
     for r in range(q):
-        c = r + q * ts
-        layer_check[r] = c
-        e = 0
+        edges = []
         for g, row in enumerate(t.rows):
             for a in row:
-                if a % q != r:
-                    continue
-                layer_groups[r, e] = g
-                layer_shifts[r, e] = a // q
-                vi_info[r, :, e] = g * GROUP + ((ts - a // q) % GROUP)
-                e += 1
-        assert e == d_info
-        # roll-based layer updates need each group at most once per layer
-        assert len(set(layer_groups[r, :e].tolist())) == e, (
-            "table row has duplicate residues mod q; roll path unavailable")
-    return LdpcStructs(K=K, q=q, dc=dc, layer_groups=layer_groups,
-                       layer_shifts=layer_shifts, vi_info=vi_info,
-                       layer_check=layer_check)
+                if a % q == r:
+                    edges.append((g, a // q))
+        layer_edges.append(tuple(edges))
+    max_dc = max(len(e) for e in layer_edges) + 2
+    # packed sign words in the min-sum paths are int32
+    assert max_dc <= 30, f"layer check degree {max_dc} exceeds int32 signs"
+    return LdpcStructs(K=K, q=q, layer_edges=tuple(layer_edges),
+                       max_dc=max_dc)
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_gather(rate: str):
+    """(NmK, max_d) var indices per check (pad -> index K, a zero column),
+    in GLOBAL check order c = r + q*t."""
+    s = build_structs(rate)
+    t: LdpcTable = get_table(rate)
+    q, NmK, K = s.q, s.NmK, s.K
+    max_d = s.max_dc - 2
+    idx = np.full((NmK, max_d), K, dtype=np.int32)
+    ts = np.arange(GROUP)
+    for r in range(q):
+        c = r + q * ts                                    # checks of layer r
+        for e, (g, sh) in enumerate(s.layer_edges[r]):
+            idx[c, e] = g * GROUP + ((ts - sh) % GROUP)
+    return idx
 
 
 # ---------------------------------------------------------------------------
@@ -95,12 +105,10 @@ def build_structs(rate: str) -> LdpcStructs:
 def encode(bits: jnp.ndarray, rate: str) -> jnp.ndarray:
     """(F, K) info bits -> (F, N) codeword (IRA accumulator parity)."""
     s = build_structs(rate)
-    # pre-parity: XOR of info bits feeding each check, gathered statically.
-    gathered = bits[:, jnp.asarray(s.vi_info.reshape(-1, s.dc - 2))]
-    pre = jnp.sum(gathered.astype(jnp.int32), axis=-1) % 2      # (F, q*360)
-    # reorder (r, t) -> global check index c = r + q*t
-    order = np.argsort(s.layer_check.reshape(-1), kind="stable")
-    pre = pre[:, jnp.asarray(order.astype(np.int32))]           # (F, NmK) in c order
+    # pre-parity: XOR of info bits feeding each check, gathered statically
+    # (checks already in global order; pad index K hits the zero column)
+    padded = jnp.pad(bits.astype(jnp.int32), ((0, 0), (0, 1)))
+    pre = jnp.sum(padded[:, jnp.asarray(_encode_gather(rate))], axis=-1) % 2
     # accumulator: p_c = XOR_{c' <= c} pre_{c'} == cumsum mod 2 (log-depth scan)
     parity = jnp.cumsum(pre, axis=-1) % 2
     return jnp.concatenate([bits, parity.astype(bits.dtype)], axis=-1)
@@ -109,11 +117,9 @@ def encode(bits: jnp.ndarray, rate: str) -> jnp.ndarray:
 def syndrome_weight(cw: jnp.ndarray, rate: str) -> jnp.ndarray:
     """(F, N) codeword -> (F,) number of unsatisfied checks (0 == valid)."""
     s = build_structs(rate)
-    info = cw[:, :s.K].astype(jnp.int32)
+    info = jnp.pad(cw[:, :s.K].astype(jnp.int32), ((0, 0), (0, 1)))
     par = cw[:, s.K:].astype(jnp.int32)
-    acc = info[:, jnp.asarray(s.vi_info.reshape(-1, s.dc - 2))].sum(-1)
-    order = np.argsort(s.layer_check.reshape(-1), kind="stable")
-    acc = acc[:, jnp.asarray(order.astype(np.int32))]           # (F, NmK), c order
+    acc = info[:, jnp.asarray(_encode_gather(rate))].sum(-1)    # (F, NmK)
     prev = jnp.pad(par[:, :-1], ((0, 0), (1, 0)))
     return jnp.sum((acc + par + prev) % 2, axis=-1)
 
@@ -131,6 +137,31 @@ def _phi(x):
     """phi(x) = -log(tanh(x/2)), its own inverse; clipped for f32 stability."""
     x = jnp.clip(x, _PHI_MIN, _PHI_MAX)
     return -jnp.log(jnp.tanh(0.5 * x))
+
+
+def _posterior_syndrome_unsat(L_info, L_par, s: LdpcStructs) -> jnp.ndarray:
+    """True iff any check is unsatisfied by the CURRENT posteriors.
+
+    Exact end-of-iteration syndrome on the hard decision, matching aff3ct's
+    ``check_syndrome_soft()`` called after each full layered sweep.  A
+    mid-sweep per-layer accumulation is NOT equivalent: later layers keep
+    moving shared variables' posteriors, and with unnormalized MS the
+    decoder measurably exited early on non-codewords (round-2 bug fix,
+    regression-tested in tests/test_ldpc.py)."""
+    q = s.q
+    unsat = None
+    for r in range(q):
+        par = L_par[r] < 0
+        for (g, sh) in s.layer_edges[r]:
+            par = jnp.logical_xor(par, jnp.roll(L_info[g], sh, axis=0) < 0)
+        if r > 0:
+            prev_in = L_par[r - 1]
+        else:
+            prev_in = jnp.roll(L_par[q - 1], 1, axis=0).at[0].set(_BIG)
+        par = jnp.logical_xor(par, prev_in < 0)
+        u = jnp.any(par)
+        unsat = u if unsat is None else (unsat | u)
+    return unsat
 
 
 def _check_update(Lq: jnp.ndarray, implem: str, alpha: float):
@@ -167,18 +198,22 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
     VMEM-resident Pallas kernel (ops/ldpc_pallas.py, ~5x the XLA version);
     ``use_pallas`` in {"auto", "never", "always"}.
     """
-    if implem in ("MS", "NMS") and use_pallas != "never":
+    if use_pallas != "never":
         on_tpu = jax.default_backend() not in ("cpu",)
         if use_pallas == "always" or on_tpu:
             from dvbs2_tpu.ops import ldpc_pallas
-            alpha = norm_factor if implem == "NMS" else 1.0
-            return ldpc_pallas.decode_nms(llr, rate, n_ite=n_ite,
-                                          norm_factor=alpha,
-                                          syndrome_exit=syndrome_exit)
+            if implem in ("MS", "NMS"):
+                alpha = norm_factor if implem == "NMS" else 1.0
+                return ldpc_pallas.decode_nms(llr, rate, n_ite=n_ite,
+                                              norm_factor=alpha,
+                                              syndrome_exit=syndrome_exit)
+            if implem == "SPA":
+                return ldpc_pallas.decode_spa(llr, rate, n_ite=n_ite,
+                                              syndrome_exit=syndrome_exit)
     s = build_structs(rate)
     F, N = llr.shape
     assert N == N_LDPC
-    G, q, dc, d_info = s.n_groups, s.q, s.dc, s.dc - 2
+    G, q = s.n_groups, s.q
 
     lt = llr.T.astype(jnp.float32)                       # (N, F)
     L_info0 = lt[:s.K].reshape(G, GROUP, F)
@@ -201,54 +236,51 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
     # type matches under shard_map (a plain jnp.zeros is unvarying and the
     # fori_loop carry would change type on the first iteration)
     zf = 0.0 * lt[0, 0]
-    R0 = tuple(jnp.zeros((dc, GROUP, F), jnp.float32) + zf for _ in range(q))
-
-    groups = s.layer_groups
-    shifts = s.layer_shifts
+    R0 = tuple(jnp.zeros((s.dc_r(r), GROUP, F), jnp.float32) + zf
+               for r in range(q))
 
     def one_layer(r, L_info, L_par, R):
+        edges = s.layer_edges[r]
+        d_r = len(edges)
         L_info = list(L_info)
         L_par = list(L_par)
         R = list(R)
-        Lq = []
-        for e in range(d_info):
-            g, sh = int(groups[r, e]), int(shifts[r, e])
-            Lq.append(jnp.roll(L_info[g], sh, axis=0) - R[r][e])
-        Lq.append(L_par[r] - R[r][d_info])               # p_self
+        Lq = [jnp.roll(L_info[g], sh, axis=0) - R[r][e]
+              for e, (g, sh) in enumerate(edges)]
+        Lq.append(L_par[r] - R[r][d_r])                  # p_self
         if r > 0:
             prev_in = L_par[r - 1]
         else:
             prev_in = jnp.roll(L_par[q - 1], 1, axis=0).at[0].set(_BIG)
-        Lq.append(prev_in - R[r][d_info + 1])            # p_prev
-        Lq = jnp.stack(Lq)                               # (dc, 360, F)
+        Lq.append(prev_in - R[r][d_r + 1])               # p_prev
+        Lq = jnp.stack(Lq)                               # (dc_r, 360, F)
 
         Rnew = _check_update(Lq, implem, norm_factor)
-        post = Lq + Rnew                                 # updated posteriors
-        # hard-decision syndrome: a check is satisfied iff the sign parity of
-        # its POSTERIORS is even (v2c parity can stay odd on a valid codeword)
-        unsat_r = jnp.any(jnp.sum((post < 0).astype(jnp.int32), axis=0) % 2 == 1)
-
-        for e in range(d_info):
-            g, sh = int(groups[r, e]), int(shifts[r, e])
-            L_info[g] = jnp.roll(post[e], -sh, axis=0)
-        L_par[r] = post[d_info]
+        # DELTA write-back (L += roll^-1(R_new - R_old)): equivalent to the
+        # posterior overwrite when a group meets the layer once, and correct
+        # accumulation when a table row repeats a residue (genuine EN 302 307
+        # rows do)
+        delta = Rnew - R[r]
+        for e, (g, sh) in enumerate(edges):
+            L_info[g] = L_info[g] + jnp.roll(delta[e], -sh, axis=0)
+        L_par[r] = L_par[r] + delta[d_r]
         if r > 0:
-            L_par[r - 1] = post[d_info + 1]
+            L_par[r - 1] = L_par[r - 1] + delta[d_r + 1]
         else:
-            back = jnp.roll(post[d_info + 1], -1, axis=0)
-            # row 359 of the rolled-back block is the dummy head; keep original
-            L_par[q - 1] = jnp.concatenate(
-                [back[:GROUP - 1], L_par[q - 1][GROUP - 1:]], axis=0)
+            # row 359 of the rolled-back block is the dummy head edge of
+            # check 0 (p_{-1} doesn't exist): contributes nothing
+            back = jnp.roll(delta[d_r + 1], -1, axis=0)
+            L_par[q - 1] = L_par[q - 1] + back.at[GROUP - 1].set(0.0)
         R[r] = Rnew
-        return tuple(L_info), tuple(L_par), tuple(R), unsat_r
+        return tuple(L_info), tuple(L_par), tuple(R)
 
     def one_iteration(carry):
-        i, _, L_info, L_par, R = carry
-        unsat = jnp.bool_(False)
+        i, done, L_info, L_par, R = carry
         for r in range(q):
-            L_info, L_par, R, unsat_r = one_layer(r, L_info, L_par, R)
-            unsat = unsat | unsat_r
-        return (i + 1, ~unsat, L_info, L_par, R)
+            L_info, L_par, R = one_layer(r, L_info, L_par, R)
+        if syndrome_exit:
+            done = ~_posterior_syndrome_unsat(L_info, L_par, s)
+        return (i + 1, done, L_info, L_par, R)
 
     def cond(carry):
         i, done, *_ = carry
@@ -278,8 +310,7 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
     stored sign bit e IS the sign of the outgoing message R_e, so
     R_e = alpha * (1 - 2*bit_e) * (e == argmin ? min2 : min1).
     """
-    G, q, dc, d_info = s.n_groups, s.q, s.dc, s.dc - 2
-    groups, shifts = s.layer_groups, s.layer_shifts
+    G, q = s.n_groups, s.q
     a = jnp.float32(alpha)
 
     zf = 0.0 * lt[0, 0]
@@ -295,21 +326,22 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
         return a * sign * mag
 
     def one_layer(r, L_info, L_par, m1, m2, am, sg):
+        edges = s.layer_edges[r]
+        d_r = len(edges)
+        dc = d_r + 2
         L_info, L_par = list(L_info), list(L_par)
         m1, m2, am, sg = list(m1), list(m2), list(am), list(sg)
         m1r, m2r, amr, sgr = m1[r], m2[r], am[r], sg[r]
-        Lq = []
-        for e in range(d_info):
-            g, sh = int(groups[r, e]), int(shifts[r, e])
-            Lq.append(jnp.roll(L_info[g], sh, axis=0)
-                      - reconstruct(e, m1r, m2r, amr, sgr))
-        Lq.append(L_par[r] - reconstruct(d_info, m1r, m2r, amr, sgr))
+        Lq = [jnp.roll(L_info[g], sh, axis=0)
+              - reconstruct(e, m1r, m2r, amr, sgr)
+              for e, (g, sh) in enumerate(edges)]
+        Lq.append(L_par[r] - reconstruct(d_r, m1r, m2r, amr, sgr))
         if r > 0:
             prev_in = L_par[r - 1]
         else:
             prev_in = jnp.roll(L_par[q - 1], 1, axis=0).at[0].set(_BIG)
-        Lq.append(prev_in - reconstruct(d_info + 1, m1r, m2r, amr, sgr))
-        Lq = jnp.stack(Lq)                                # (dc, 360, F)
+        Lq.append(prev_in - reconstruct(d_r + 1, m1r, m2r, amr, sgr))
+        Lq = jnp.stack(Lq)                                # (dc_r, 360, F)
 
         mag_in = jnp.abs(Lq)
         nm1 = jnp.min(mag_in, axis=0)
@@ -331,36 +363,31 @@ def _decode_minsum_compressed(lt, L_info0, L_par0, s: LdpcStructs,
             mag = jnp.where(nam == e, nm2, nm1)
             return a * sign * mag
 
-        # hard-decision syndrome: parity of POSTERIOR signs per check (v2c
-        # sign parity can stay odd at a fixpoint even on a valid codeword)
-        hs = jnp.zeros(Lq.shape[1:], jnp.bool_)
-        for e in range(d_info):
-            g, sh = int(groups[r, e]), int(shifts[r, e])
-            post_e = Lq[e] + rnew(e)
-            hs = jnp.logical_xor(hs, post_e < 0)
-            L_info[g] = jnp.roll(post_e, -sh, axis=0)
-        L_par[r] = Lq[d_info] + rnew(d_info)
-        hs = jnp.logical_xor(hs, L_par[r] < 0)
-        post_prev = Lq[d_info + 1] + rnew(d_info + 1)
-        hs = jnp.logical_xor(hs, post_prev < 0)
+        # DELTA write-back (see the full-R path): correct when a table row
+        # repeats a residue so a group meets the layer more than once
+        for e, (g, sh) in enumerate(edges):
+            delta = rnew(e) - reconstruct(e, m1r, m2r, amr, sgr)
+            L_info[g] = L_info[g] + jnp.roll(delta, -sh, axis=0)
+        L_par[r] = L_par[r] + (rnew(d_r)
+                               - reconstruct(d_r, m1r, m2r, amr, sgr))
+        d_prev = rnew(d_r + 1) - reconstruct(d_r + 1, m1r, m2r, amr, sgr)
         if r > 0:
-            L_par[r - 1] = post_prev
+            L_par[r - 1] = L_par[r - 1] + d_prev
         else:
-            back = jnp.roll(post_prev, -1, axis=0)
-            L_par[q - 1] = jnp.concatenate(
-                [back[:GROUP - 1], L_par[q - 1][GROUP - 1:]], axis=0)
+            back = jnp.roll(d_prev, -1, axis=0)
+            L_par[q - 1] = L_par[q - 1] + back.at[GROUP - 1].set(0.0)
         m1[r], m2[r], am[r], sg[r] = nm1, nm2, nam, nsg
         return (tuple(L_info), tuple(L_par), tuple(m1), tuple(m2),
-                tuple(am), tuple(sg), jnp.any(hs))
+                tuple(am), tuple(sg))
 
     def one_iteration(carry):
-        i, _, L_info, L_par, m1, m2, am, sg = carry
-        unsat = jnp.bool_(False)
+        i, done, L_info, L_par, m1, m2, am, sg = carry
         for r in range(q):
-            L_info, L_par, m1, m2, am, sg, unsat_r = one_layer(
+            L_info, L_par, m1, m2, am, sg = one_layer(
                 r, L_info, L_par, m1, m2, am, sg)
-            unsat = unsat | unsat_r
-        return (i + 1, ~unsat, L_info, L_par, m1, m2, am, sg)
+        if syndrome_exit:
+            done = ~_posterior_syndrome_unsat(L_info, L_par, s)
+        return (i + 1, done, L_info, L_par, m1, m2, am, sg)
 
     def cond(carry):
         i, done, *_ = carry

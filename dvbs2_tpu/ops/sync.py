@@ -568,7 +568,6 @@ def lr_fine_freq(x: jnp.ndarray, cfg: Config, state: LrState):
     f_hat = jnp.arctan2(r_acc[:, 1], r_acc[:, 0]) / ((Lp2 + 1) * np.pi)
     # derotate: y_n = x_n * e^{-j pi f_hat * 2n}  (theta over symbol index)
     n = jnp.arange(L, dtype=jnp.float32)
-    theta = (np.pi * 2.0) * f_hat[:, None] * n[None, :] / 2.0 * 2.0
     theta = np.pi * f_hat[:, None] * (2.0 * n)[None, :]
     rot = jnp.stack([jnp.cos(theta), -jnp.sin(theta)], axis=-1)
     return cplx.mul(x, rot), f_hat, LrState(r_acc=r_acc)

@@ -18,13 +18,15 @@ def test_table_structure(rate):
 @pytest.mark.parametrize("rate", ["3/5", "8/9"])
 def test_structs(rate):
     s = ldpc.build_structs(rate)
-    dc = {"3/5": 11, "8/9": 27}[rate]
-    assert s.dc == dc
-    assert s.vi_info.max() < s.K
-    assert s.layer_groups.shape == (s.q, dc - 2)
-    # roll-path invariant: each group at most once per layer
+    t = get_table(rate)
+    # every table edge appears exactly once across the layers
+    n_edges = sum(len(e) for e in s.layer_edges)
+    assert n_edges == sum(len(r) for r in t.rows)
+    assert s.max_dc <= 30
     for r in range(s.q):
-        assert len(set(s.layer_groups[r].tolist())) == dc - 2
+        for (g, sh) in s.layer_edges[r]:
+            assert 0 <= g < s.n_groups and 0 <= sh < 360
+            assert (sh * s.q + r) in t.rows[g]
 
 
 @pytest.mark.parametrize("rate", ["3/5", "8/9"])
