@@ -28,6 +28,10 @@ class StepResult(NamedTuple):
     be: jnp.ndarray        # () total bit errors in the batch
     fe: jnp.ndarray        # () total frame errors in the batch
     n_frames: jnp.ndarray  # () frames processed
+    # sum over frames of the blind estimator's Es/N0 (dB) — feeds the
+    # Reporter_noise_DVBS2 est-vs-true columns (reference:
+    # Tools/Reporter/Reporter_noise_DVBS2.cpp:15-80); zeros when est PERFECT
+    esn0_est_sum: jnp.ndarray = jnp.float32(0.0)
 
 
 def tx_bb(bits: jnp.ndarray, cfg: Config) -> jnp.ndarray:
@@ -41,8 +45,11 @@ def tx_bb(bits: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return scrambler.pl_scramble(pl)
 
 
-def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """(F, pl_frame_size) noisy symbols -> (F, K_bch) decoded info bits."""
+def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config,
+          with_est: bool = False):
+    """(F, pl_frame_size) noisy symbols -> (F, K_bch) decoded info bits
+    (optionally also the estimator's per-frame sigma for the noise
+    reporter)."""
     pl = scrambler.pl_scramble(pl_noisy, descramble=True)
     sym = framer.deframe(pl, cfg.modcod)
     if cfg.est_type == "PERFECT":
@@ -56,7 +63,22 @@ def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config) -> jnp.nd
                        syndrome_exit=cfg.ldpc_syndrome_exit)
     hard = ldpc.hard_decision(post)[:, :cfg.N_bch]
     info, _ok = bch.decode(hard, cfg.K_bch)
-    return scrambler.bb_scramble(info)      # BB descramble == scramble
+    dec = scrambler.bb_scramble(info)       # BB descramble == scramble
+    return (dec, sigma) if with_est else dec
+
+
+def txrx_bb_step_bits(bits: jnp.ndarray, key: jax.Array, sigma: jnp.ndarray,
+                      cfg: Config) -> StepResult:
+    """Monte-Carlo step over CALLER-PROVIDED info bits (host sources:
+    --src-type USER/USER_BIN/AZCW; reference DVBS2.cpp:359-389)."""
+    x = tx_bb(bits, cfg)
+    y = channel.awgn(key, x, sigma)
+    dec, sig_est = rx_bb(y, sigma, cfg, with_est=True)
+    errs = jnp.sum(bits != dec, axis=-1)
+    esn0_est = 10.0 * jnp.log10(1.0 / (2.0 * sig_est[:, 0] ** 2))
+    return StepResult(be=jnp.sum(errs), fe=jnp.sum(errs > 0),
+                      n_frames=jnp.int32(bits.shape[0]),
+                      esn0_est_sum=jnp.sum(esn0_est))
 
 
 def txrx_bb_step(key: jax.Array, sigma: jnp.ndarray, cfg: Config,
@@ -64,12 +86,7 @@ def txrx_bb_step(key: jax.Array, sigma: jnp.ndarray, cfg: Config,
     """One Monte-Carlo batch: generate, transmit, corrupt, receive, count."""
     kb, kn = jax.random.split(key)
     bits = jax.random.bernoulli(kb, 0.5, (batch, cfg.K_bch)).astype(jnp.int8)
-    x = tx_bb(bits, cfg)
-    y = channel.awgn(kn, x, sigma)
-    dec = rx_bb(y, sigma, cfg)
-    errs = jnp.sum(bits != dec, axis=-1)
-    return StepResult(be=jnp.sum(errs), fe=jnp.sum(errs > 0),
-                      n_frames=jnp.int32(batch))
+    return txrx_bb_step_bits(bits, kn, sigma, cfg)
 
 
 @functools.lru_cache(maxsize=None)

@@ -131,6 +131,8 @@ def config_from_args(args) -> Config:
 def print_trace(cfg: Config, prog: str) -> None:
     """Echo the configuration like the reference's tools::Header
     (reference: TX_RX_BB/main.cpp:36-40 and visible in refs/ files)."""
+    from dvbs2_tpu.version import version_string
+    print(f"# {version_string()}")
     print("[trace]")
     print("# * DVB-S2 ----------------------------------------")
     print(f"#    ** Modulation and coding = {cfg.modcod}")

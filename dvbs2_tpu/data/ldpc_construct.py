@@ -242,7 +242,8 @@ def construct_table(K: int, q: int, degrees: list, seed: int,
     return tuple(rows)
 
 
-def construct_table_v3(K: int, q: int, degrees: list, seed: int) -> tuple:
+def construct_table_v3(K: int, q: int, degrees: list, seed: int,
+                       iid_frac: float = 1.0) -> tuple:
     """Standard-like ensemble: residues iid uniform PER EDGE, so table rows
     repeat residues mod q exactly like the genuine EN 302 307 Annex C rows do
     (a group then meets the same decoder layer twice and check degrees vary
@@ -251,13 +252,23 @@ def construct_table_v3(K: int, q: int, degrees: list, seed: int) -> tuple:
     greedily 4-cycle-free with full ACE-weighted 6-cycle avoidance.
 
     Per-layer info degree is capped at 28 (packed int32 sign words in the
-    min-sum decoders hold at most 30 edges per check)."""
+    min-sum decoders hold at most 30 edges per check).  ``iid_frac`` is the
+    collision-density knob: that fraction of rows samples residues iid
+    (with repeats), the rest sample distinct residues — at low q (rate 8/9,
+    q=5) full-iid collisions measurably flatten the FER slope below the
+    refs' curve, and a fraction in between lands on it."""
     NmK = N_LDPC - K
     assert NmK == q * GROUP and K == len(degrees) * GROUP
     rng = np.random.default_rng(seed)
     for _ in range(1000):
-        residues = [sorted(int(x) for x in rng.integers(0, q, size=d))
-                    for d in degrees]
+        residues = []
+        for d in degrees:
+            if rng.random() < iid_frac:
+                residues.append(sorted(int(x)
+                                       for x in rng.integers(0, q, size=d)))
+            else:
+                residues.append(sorted(int(x) for x in rng.choice(
+                    q, size=min(d, q), replace=False)))
         counts = np.bincount([r for row in residues for r in row],
                              minlength=q)
         if counts.max() <= 28:

@@ -127,8 +127,10 @@ _GEOM = {"3/5": (9720, 18, _degrees_3_5), "8/9": (14400, 5, _degrees_8_9)}
 
 # Frozen winners of the tools/parity_sweep.py SPA-50 selection (see module
 # docstring); candidates are interchangeable same-ensemble codes, these land
-# closest to refs/TX_RX_BB within MC noise.
-DEFAULT_VARIANT = {"3/5": "v2s1", "8/9": "v2s1"}
+# closest to refs/TX_RX_BB within MC noise (selection JSONs:
+# ldpc_scan_3_5_v3.json, ldpc_scan_8_9_f.json; confirmation:
+# parity_spa50.json).
+DEFAULT_VARIANT = {"3/5": "v3s2", "8/9": "v2s1"}
 
 
 def get_table(rate: str) -> LdpcTable:
@@ -158,10 +160,16 @@ def get_table(rate: str) -> LdpcTable:
                                w6=w6, cluster_frac=cf)
         source = f"ensemble-peg-{variant}"
     elif variant.startswith("v3s"):
-        # standard-like iid residues (rows repeat residues mod q, layer
-        # degrees vary) — see ldpc_construct.construct_table_v3
+        # 'v3s<seed>[f<pct>]': standard-like iid residues (rows repeat
+        # residues mod q, layer degrees vary); f<pct> = fraction of rows
+        # sampled iid (collision density) — ldpc_construct.construct_table_v3
         from dvbs2_tpu.data.ldpc_construct import construct_table_v3
-        rows = construct_table_v3(K, q, degrees_fn(), seed=int(variant[3:]))
+        m = re.fullmatch(r"v3s(\d+)(?:f(\d+))?", variant)
+        if not m:
+            raise ValueError(f"bad LDPC table variant {variant!r}")
+        frac = float(m.group(2)) / 100.0 if m.group(2) else 1.0
+        rows = construct_table_v3(K, q, degrees_fn(), seed=int(m.group(1)),
+                                  iid_frac=frac)
         source = f"ensemble-iid-{variant}"
     else:
         raise ValueError(f"unknown LDPC table variant {variant!r}")

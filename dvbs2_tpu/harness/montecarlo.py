@@ -30,6 +30,11 @@ class SnrPoint:
     fe: int
     elapsed_s: float
     K_info: int
+    esn0_est_sum: float = 0.0   # Reporter_noise_DVBS2 estimated-SNR column
+
+    @property
+    def esn0_est(self) -> float:
+        return self.esn0_est_sum / max(self.n_frames, 1)
 
     @property
     def ber(self) -> float:
@@ -47,46 +52,58 @@ class SnrPoint:
 
 def run_snr_point(step_fn: Callable, cfg: Config, ebn0: float, batch: int,
                   max_fe: Optional[int] = None, max_frames: int = 10_000_000,
-                  min_frames: int = 0, seed: int = 0,
+                  min_frames: int = 0, seed: int = 0, in_flight: int = 4,
                   verbose: bool = False) -> SnrPoint:
-    """Run batches of ``step_fn(key, sigma)`` until max_fe frame errors."""
+    """Run batches of ``step_fn(key, sigma)`` until max_fe frame errors.
+
+    Several batches stay in flight before the first result is fetched —
+    on the remote-TPU transport each scalar fetch costs a full round trip,
+    so the dispatch pipeline (not host latency) sets the throughput."""
     max_fe = cfg.max_fe if max_fe is None else max_fe
     esn0 = cfg.ebn0_to_esn0(ebn0)
     sigma = jnp.float32(cfg.esn0_to_sigma(esn0))
     key = jax.random.key(seed)
     be = fe = fra = 0
+    est_sum = 0.0
     t0 = time.perf_counter()
     i = 0
     pending = []
-    while (fe < max_fe and fra < max_frames) or fra < min_frames:
-        key_i = jax.random.fold_in(key, i)
-        i += 1
-        pending.append(step_fn(key_i, sigma))
-        # keep a couple of batches in flight to hide host latency
-        while len(pending) > 2:
-            r = pending.pop(0)
-            be += int(r.be)
-            fe += int(r.fe)
-            fra += int(r.n_frames)
-        if verbose and i % 50 == 0:
-            print(f"  ebn0={ebn0:.2f} fra={fra} fe={fe} ber={be/max(fra*cfg.K_bch,1):.3e}")
-    for r in pending:
+
+    def drain_one():
+        nonlocal be, fe, fra, est_sum
+        r = pending.pop(0)
         be += int(r.be)
         fe += int(r.fe)
         fra += int(r.n_frames)
+        est_sum += float(getattr(r, "esn0_est_sum", 0.0))
+
+    while (fe < max_fe and fra + len(pending) * batch < max_frames) \
+            or fra + len(pending) * batch < min_frames:
+        pending.append(step_fn(jax.random.fold_in(key, i), sigma))
+        i += 1
+        if len(pending) >= in_flight:
+            drain_one()
+        if verbose and i % 50 == 0:
+            print(f"  ebn0={ebn0:.2f} fra={fra} fe={fe} "
+                  f"ber={be/max(fra*cfg.K_bch,1):.3e}")
+    while pending:
+        drain_one()
     elapsed = time.perf_counter() - t0
     return SnrPoint(ebn0=ebn0, esn0=esn0, n_frames=fra, be=be, fe=fe,
-                    elapsed_s=elapsed, K_info=cfg.K_bch)
+                    elapsed_s=elapsed, K_info=cfg.K_bch, esn0_est_sum=est_sum)
 
 
 def format_header() -> str:
-    return ("# ----------|----------||----------|----------|----------|----------|----------||----------\n"
-            "#     Es/N0 |    Eb/N0 ||      FRA |       BE |       FE |      BER |      FER ||  SIM_THR\n"
-            "#      (dB) |     (dB) ||          |          |          |          |          ||   (Mb/s)")
+    """aff3ct-style table; 'Es/N0 est' is the Reporter_noise_DVBS2 blind
+    estimate column (reference: Reporter_noise_DVBS2.cpp:15-80)."""
+    return ("# ----------|----------|----------||----------|----------|----------|----------|----------||----------\n"
+            "# Es/N0 est |    Es/N0 |    Eb/N0 ||      FRA |       BE |       FE |      BER |      FER ||  SIM_THR\n"
+            "#      (dB) |     (dB) |     (dB) ||          |          |          |          |          ||   (Mb/s)")
 
 
 def format_row(p: SnrPoint) -> str:
-    return (f"  {p.esn0:9.2f} | {p.ebn0:8.2f} || {p.n_frames:8d} | {p.be:8d} | "
+    return (f"  {p.esn0_est:9.2f} | {p.esn0:8.2f} | {p.ebn0:8.2f} || "
+            f"{p.n_frames:8d} | {p.be:8d} | "
             f"{p.fe:8d} | {p.ber:.2e} | {p.fer:.2e} || {p.sim_thr_mbps:8.3f}")
 
 

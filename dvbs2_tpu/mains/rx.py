@@ -32,8 +32,10 @@ def main(argv=None):
         out.append(np.asarray(bits[0]))
         done += F
     bits = np.concatenate(out)
-    with open(args.snk_path, "wb") as f:
-        np.packbits(bits.astype(np.uint8), axis=-1).tofile(f)
+    from dvbs2_tpu.io.sources import BinarySink
+    sink = BinarySink(args.snk_path)
+    sink.send(bits)
+    sink.close()
     print(f"# decoded {done} frames -> {args.snk_path}")
 
 
