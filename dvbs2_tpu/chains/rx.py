@@ -100,13 +100,32 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
     syms = syms.reshape(B, n_frames, L, 2)
 
     # per-frame stages with carried state: frame sync + L&R
-    def per_frame(carry, frame):
-        fs, lr = carry
-        aligned, delay, flag, metric, fs = sync.frame_sync(frame, cfg, fs)
-        descr = scrambler.pl_scramble(aligned, descramble=True)
-        derot, f_lr, lr = sync.lr_fine_freq(descr, cfg, lr)
-        fine, _f, _p = sync.phase_freq_fine(derot, cfg)
-        return (fs, lr), (fine, delay, flag)
+    if cfg.perfect_sync:
+        # genie frame sync (fixed known symbol delay, flag always true,
+        # Synchronizer_frame_perfect.cpp:26-53) + genie fine freq/phase
+        # (known residual = 0, Synchronizer_freq_fine_perfect) — the fine
+        # estimators are bypassed exactly like the reference's PERFECT
+        # variants, so this mode truly isolates FEC from synchronization
+        known_delay = (2 * cfg.shp_grp_delay * cfg.shp_osf
+                       + int(cfg.chn_max_delay) + 3) // cfg.shp_osf
+
+        def per_frame(carry, frame):
+            fs, lr = carry
+            ext = jnp.concatenate([fs.delay_buf, frame], axis=1)
+            aligned = ext[:, known_delay:known_delay + L]
+            descr = scrambler.pl_scramble(aligned, descramble=True)
+            fs = fs._replace(delay_buf=frame, prev_sym=frame[:, -1:])
+            return (fs, lr), (descr,
+                              jnp.full((B,), known_delay, jnp.int32),
+                              jnp.ones((B,), bool))
+    else:
+        def per_frame(carry, frame):
+            fs, lr = carry
+            aligned, delay, flag, metric, fs = sync.frame_sync(frame, cfg, fs)
+            descr = scrambler.pl_scramble(aligned, descramble=True)
+            derot, f_lr, lr = sync.lr_fine_freq(descr, cfg, lr)
+            fine, _f, _p = sync.phase_freq_fine(derot, cfg)
+            return (fs, lr), (fine, delay, flag)
 
     frames_t = syms.transpose(1, 0, 2, 3)            # (F, B, L, 2)
     (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(

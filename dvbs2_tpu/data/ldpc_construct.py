@@ -263,7 +263,11 @@ def construct_table_v3(K: int, q: int, degrees: list, seed: int,
     for _ in range(1000):
         residues = []
         for d in degrees:
-            if rng.random() < iid_frac:
+            # NOTE: the rng.random() gate is only drawn when the knob is
+            # active — iid_frac=1.0 must consume the random stream exactly
+            # like the pre-knob sampler so that v3s<seed> names keep
+            # addressing the tables the selection scans measured
+            if iid_frac >= 1.0 or rng.random() < iid_frac:
                 residues.append(sorted(int(x)
                                        for x in rng.integers(0, q, size=d)))
             else:

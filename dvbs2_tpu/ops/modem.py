@@ -2,7 +2,14 @@
 Constellation_user; reference: src/common/Factory/DVBS2/DVBS2.cpp:478-488).
 
 Mapping: consecutive ``bps`` bits form the constellation index, first bit =
-MSB. Demapping produces one LLR per bit, LLR = log P(b=0|y) - log P(b=1|y)
+LSB (aff3ct Modem_generic index convention; determined EMPIRICALLY against
+refs/TX_RX_BB — see tools/itl_probe.py + itl_probe.json: with the .mod
+tables and the column interleaver, first-bit-=-MSB costs 1.8-43x FER at
+8PSK/16APSK while QPSK is insensitive, and first-bit-=-LSB lands on the
+reference curves; the two conventions are equivalent to relabeling the
+interleaver read order, so the interleaver keeps the standard's
+TOP_LEFT/TOP_RIGHT semantics and the modem owns the bit order).
+Demapping produces one LLR per bit, LLR = log P(b=0|y) - log P(b=1|y)
 (positive LLR => bit 0, the aff3ct sign convention), computed with the exact
 max-star (logsumexp, the reference's default) or the max approximation, with
 per-real-dimension noise std sigma (complex noise variance 2 sigma^2).
@@ -24,9 +31,9 @@ _BPS = {"QPSK": 2, "8PSK": 3, "16APSK": 4}
 
 
 def _bit_masks(bps: int) -> np.ndarray:
-    """(bps, 2**bps) 0/1 matrix: bit k (MSB first) of each index."""
+    """(bps, 2**bps) 0/1 matrix: bit k (LSB first) of each index."""
     idx = np.arange(1 << bps)
-    return np.stack([(idx >> (bps - 1 - k)) & 1 for k in range(bps)])
+    return np.stack([(idx >> k) & 1 for k in range(bps)])
 
 
 def modulate(bits: jnp.ndarray, mod: str) -> jnp.ndarray:
@@ -39,7 +46,7 @@ def modulate(bits: jnp.ndarray, mod: str) -> jnp.ndarray:
     cstl = jnp.asarray(cplx.from_np(get_constellation(mod)))   # (2^bps, 2)
     bps = _BPS[mod]
     b = bits.reshape(bits.shape[:-1] + (-1, bps)).astype(jnp.int32)
-    weights = jnp.asarray(2 ** np.arange(bps - 1, -1, -1), dtype=jnp.int32)
+    weights = jnp.asarray(2 ** np.arange(bps), dtype=jnp.int32)
     idx = jnp.sum(b * weights, axis=-1)
     onehot = jax.nn.one_hot(idx, 1 << bps, dtype=jnp.float32)
     return jnp.einsum("...k,kc->...c", onehot, cstl)

@@ -10,7 +10,8 @@ The reference's parallelism (SURVEY.md §2.5) maps onto one mesh axis:
   per-thread PRNG seeds              --> fold_in(key, axis_index)
 
 A second 'sample' axis for time-block sharding of the oversampled stream
-(overlap-save halo exchange) is reserved for the filtered RX chain.
+(overlap-save ppermute halo exchange of filter histories) lives in
+parallel/overlap_save.py.
 """
 from __future__ import annotations
 

@@ -31,10 +31,11 @@ def test_demod_llr_sign_and_scale_qpsk():
     llr = np.asarray(modem.demodulate(jnp.asarray(y), jnp.full((1, 1), sigma),
                                       "QPSK"))
     a = 1 / np.sqrt(2)
-    # with idx = 2*b0 + b1 over [(1,1),(-1,1),(1,-1),(-1,-1)]/sqrt2:
-    # b0 selects the imag sign, b1 the real sign
-    expect_b0 = (2 * a * 0.5) / sigma ** 2
-    expect_b1 = (2 * a * 0.2) / sigma ** 2
+    # with idx = b0 + 2*b1 over [(1,1),(-1,1),(1,-1),(-1,-1)]/sqrt2
+    # (first bit = LSB, the aff3ct Modem_generic convention — see
+    # ops/modem.py docstring): b0 selects the real sign, b1 the imag sign
+    expect_b0 = (2 * a * 0.2) / sigma ** 2
+    expect_b1 = (2 * a * 0.5) / sigma ** 2
     np.testing.assert_allclose(llr[0], [expect_b0, expect_b1], rtol=1e-5)
 
 
