@@ -66,6 +66,67 @@ def bb_stages(cfg: Config, sigma) -> List[Tuple[str, str, Callable]]:
     ]
 
 
+def rx_stages(cfg: Config, batch: int, ebn0: float = 4.0):
+    """(module, task, fn, input) list decomposing the FULL RX chain on
+    representative data — the task list the scheduler profiles (reference
+    RX binding: src/mains/RX/main_sched.cpp:197-223).  Stage inputs are
+    synthetic (correct shapes/states); timings are what matters here."""
+    from dvbs2_tpu.ops import filters as _f, sync as _s
+    B, L, osf = batch, cfg.pl_frame_size, cfg.shp_osf
+    sigma = jnp.float32(cfg.ebn0_to_sigma(ebn0))
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (B, L * osf, 2), jnp.float32)
+    frame = jax.random.normal(key, (B, L, 2), jnp.float32)
+    xfec = jax.random.normal(key, (B, cfg.N_xfec_frame, 2), jnp.float32)
+    llr = jax.random.normal(key, (B, 16200), jnp.float32) * 4.0
+    hard = jax.random.bernoulli(key, 0.5, (B, cfg.N_bch)).astype(jnp.int8)
+    bits = jax.random.bernoulli(key, 0.5, (B, cfg.K_bch)).astype(jnp.int8)
+    taps = _f.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
+    coarse0 = _s.coarse_init(B, L)
+    g0 = _s.gardner_init(B, osf)
+    ex0 = _s.extract_init(B, cap=4 * osf * L)
+    fs0 = _s.frame_sync_init(B, L)
+    lr0 = _s.lr_init(B)
+    strobe = jnp.asarray(
+        (np.arange(L * osf) % osf == 0).astype(np.int8))[None].repeat(B, 0)
+    sg = jnp.full((B, 1), sigma)
+    return [
+        ("sync_coarse_f", "synchronize", lambda v: _s.coarse_mix(v, coarse0), x),
+        ("mult_agc", "imultiply",
+         lambda v: _f.agc(v, output_energy=1.0 / osf), x),
+        ("matched_flt", "filter", lambda v: _f.fir(v, taps), x),
+        ("sync_timing", "synchronize",
+         lambda v: _s.gardner_scan(v, cfg, g0), x),
+        ("sync_timing", "extract",
+         lambda v: _s.extract_strobed(v, strobe, L, ex0), x),
+        ("sync_frame", "synchronize",
+         lambda v: _s.frame_sync(v, cfg, fs0), frame),
+        ("pl_scrambler", "descramble",
+         lambda v: scrambler.pl_scramble(v, descramble=True), frame),
+        ("sync_fine_lr", "synchronize",
+         lambda v: _s.lr_fine_freq(v, cfg, lr0), frame),
+        ("sync_fine_pf", "synchronize",
+         lambda v: _s.phase_freq_fine(v, cfg), frame),
+        ("framer", "remove_plh",
+         lambda v: framer.deframe(v, cfg.modcod), frame),
+        ("estimator", "estimate", lambda v: estimator.estimate_sigma(v), xfec),
+        ("modem", "demodulate",
+         lambda v: modem.demodulate(v, sg, cfg.mod), xfec),
+        ("itl_rx", "deinterleave",
+         lambda v: interleaver.deinterleave(v, cfg.itl_n_cols,
+                                            cfg.read_order), llr),
+        ("LDPC_decoder", "decode_siho",
+         lambda v: ldpc.decode(v, cfg.ldpc_code, n_ite=cfg.ldpc_nite,
+                               implem=cfg.ldpc_implem,
+                               norm_factor=cfg.ldpc_norm_factor,
+                               syndrome_exit=cfg.ldpc_syndrome_exit), llr),
+        ("BCH_decoder", "decode_hiho",
+         lambda v: bch.decode(v, cfg.K_bch)[0], hard),
+        ("bb_scrambler", "descramble",
+         lambda v: scrambler.bb_scramble(v), bits),
+    ]
+
+
 def _chain_values(cfg: Config, batch: int, ebn0: float):
     """Run the chain stage by stage, returning each stage's (name, task,
     fn, input value)."""

@@ -192,6 +192,21 @@ def agc(x: jnp.ndarray, output_energy: float = 1.0) -> jnp.ndarray:
     return x * (np.sqrt(output_energy) / jnp.sqrt(var))
 
 
+def sequence_multiply(x: jnp.ndarray, seq: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise complex multiply of a (B, N, 2) stream by a fixed (N, 2)
+    complex sequence (Multiplier_sequence_ccc_naive.cpp:10-35)."""
+    from dvbs2_tpu.ops import cplx
+    return cplx.mul(x, jnp.asarray(seq, jnp.float32)[None])
+
+
+def unit_delay(x: jnp.ndarray, state: Optional[jnp.ndarray] = None):
+    """One-block (frame) delay: emit the previous call's block, zeros first
+    (Filter_unit_delay.cpp:23-44).  Returns (delayed, new_state=x)."""
+    if state is None:
+        state = jnp.zeros_like(x)
+    return state, x
+
+
 def fading_gains(snr_list: list, esn0_ref: float) -> np.ndarray:
     """Per-frame gain sequence from (esn0_dB, n_frames) pairs — the
     Multiplier_fading_DVBS2 schedule (Multiplier_fading_DVBS2.cpp:12-56):

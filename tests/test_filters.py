@@ -117,3 +117,23 @@ def test_agc_normalizes_energy():
     y = filters.agc(jnp.asarray(x))
     e = np.mean(cplx.abs2(np.asarray(y)), axis=1)
     np.testing.assert_allclose(e, 1.0, rtol=0.05)
+
+
+def test_sequence_multiply():
+    rng = np.random.RandomState(6)
+    x = cplx.from_np(rng.randn(2, 64) + 1j * rng.randn(2, 64))
+    s = cplx.from_np(rng.randn(64) + 1j * rng.randn(64))
+    y = np.asarray(filters.sequence_multiply(jnp.asarray(x), jnp.asarray(s)))
+    xc = x[..., 0] + 1j * x[..., 1]
+    sc = s[..., 0] + 1j * s[..., 1]
+    np.testing.assert_allclose(y[..., 0] + 1j * y[..., 1], xc * sc[None],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unit_delay():
+    a = jnp.asarray(np.random.RandomState(7).randn(1, 8, 2).astype(np.float32))
+    b = a * 2
+    y1, st = filters.unit_delay(a)
+    y2, _ = filters.unit_delay(b, st)
+    np.testing.assert_array_equal(np.asarray(y1), 0.0)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(a))
