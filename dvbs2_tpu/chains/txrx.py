@@ -207,9 +207,15 @@ def transplant(rx: RxState, acq: acquisition.AcqState) -> RxState:
 
 def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
             batch: int, max_waiting: int = 300, learn12: int = 150,
-            learn3: int = 200, verbose: bool = False):
+            learn3: int = 200, verbose: bool = False, trace: list = None):
     """Run WAITING + LEARNING 1&2 + LEARNING 3; returns the TxRxState ready
-    for the transmission phase (monitor counters should start fresh)."""
+    for the transmission phase (monitor counters should start fresh).
+
+    ``trace``: optional list collecting per-frame probe rows
+    (phase, frame, metric_min, nu_mean, slips_max) — the counterpart of the
+    reference's Reporter_probe sync-convergence dumps written per phase to
+    --stats-path files (reference: src/mains/TX_RX/main.cpp:92-180,433-453).
+    """
     acq = acquisition.acq_init(cfg, batch)
     step_fast = jit_acq_step(cfg, batch, 1e-4)
     step_slow = jit_acq_step(cfg, batch, 5e-5)
@@ -220,10 +226,18 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
         k += 1
         return jax.random.fold_in(key, k)
 
+    def probe(phase, i, r=None):
+        if trace is None:
+            return
+        nu = float(jnp.mean(-acq.smf.coarse.est_freq))
+        met = float(jnp.min(r.metric)) if r is not None else float("nan")
+        trace.append((phase, i, met, nu, int(jnp.max(state.slips))))
+
     # WAITING: until every stream's frame-sync flag (PLL Bn=1e-4)
     for i in range(max_waiting):
         r = step_fast(next_key(), sigma, state, acq)
         state, acq = r.state, r.acq
+        probe("WAITING", i, r)
         if bool(jnp.all(r.flag)):
             break
     if verbose:
@@ -231,12 +245,14 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
               f"(metric min {float(jnp.min(r.metric)):.1f})")
 
     # LEARNING 1 (Bn=1e-4) then LEARNING 2 (Bn=5e-5)
-    for _ in range(learn12):
+    for i in range(learn12):
         r = step_fast(next_key(), sigma, state, acq)
         state, acq = r.state, r.acq
-    for _ in range(learn12):
+        probe("LEARNING_1", i, r)
+    for i in range(learn12):
         r = step_slow(next_key(), sigma, state, acq)
         state, acq = r.state, r.acq
+        probe("LEARNING_2", i, r)
     if verbose:
         nu = -acq.smf.coarse.est_freq
         print(f"# learning 1&2 done (mixer nu {[f'{float(v):.6f}' for v in nu]})")
@@ -244,6 +260,7 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     # LEARNING 3: tracking chain, no decode
     state = state._replace(rx=transplant(state.rx, acq))
     sync_step = jit_sync_step(cfg, batch, 1)
-    for _ in range(learn3):
+    for i in range(learn3):
         state = sync_step(next_key(), sigma, state)
+        probe("LEARNING_3", i)
     return state

@@ -32,8 +32,20 @@ def main(argv=None):
         state = txrx.txrx_init(cfg, B)
         key = jax.random.fold_in(jax.random.key(args.seed), int(ebn0 * 100))
         if not cfg.perfect_sync and not args.no_wl_phases:
+            trace = [] if args.stats_path else None
             state = txrx.acquire(jax.random.fold_in(key, 2**31 - 1), sigma,
-                                 cfg, state, B, verbose=True)
+                                 cfg, state, B, verbose=True, trace=trace)
+            if trace is not None:
+                # per-phase probe dump, one file per SNR point like the
+                # reference's stats_sigma_* Terminal_dump files
+                # (TX_RX/main.cpp:433-453)
+                path = f"{args.stats_path}_ebn0_{ebn0:.2f}.txt"
+                with open(path, "w") as fh:
+                    fh.write("#     PHASE |  FRA |  FSYNC_MIN |     NU_MEAN"
+                             " | SLIPS\n")
+                    for (ph, i, met, nu, sl) in trace:
+                        fh.write(f"# {ph:>10s} | {i:4d} | {met:10.2f} |"
+                                 f" {nu:11.6f} | {sl:5d}\n")
         be = fe = fra = 0
         t0 = time.perf_counter()
         i = 0

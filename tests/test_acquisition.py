@@ -64,10 +64,18 @@ def test_full_acquisition_then_decode_cfo():
     state = txrx.txrx_init(cfg, B)
     key = jax.random.key(7)
     sigma = jnp.float32(1e-2)
+    trace = []
     state = txrx.acquire(jax.random.fold_in(key, 99), sigma, cfg, state, B,
-                         learn12=60, learn3=40)
+                         learn12=60, learn3=40, trace=trace)
     nu = float(state.rx.coarse.nu[0])
     assert abs(nu + cfg.chn_max_freq_shift) < 0.01, nu
+    # probe trace (the --stats-path dump rows) covers every phase and shows
+    # the PLL converging toward the true CFO
+    phases = {row[0] for row in trace}
+    assert {"WAITING", "LEARNING_1", "LEARNING_2", "LEARNING_3"} <= phases
+    nus = [row[3] for row in trace if row[0] == "LEARNING_2"]
+    # probe nu is the mixer frequency (= -CFO when locked)
+    assert abs(nus[-1] + cfg.chn_max_freq_shift) < 0.01
     step = txrx.jit_step(cfg, B, F)
     be = fe = n = 0
     for i in range(5):
