@@ -1,18 +1,23 @@
-"""Headline benchmark: decoded info throughput of the baseband Monte-Carlo
-chain (the reference's `dvbs2_tx_rx_bb` equivalent), QPSK-S_8/9, NMS-10,
-Eb/N0 = 4.0 dB, on one chip.
+"""Headline benchmark: decoded info throughput of the FULL dvbs2_tx_rx
+chain (TX shaping -> channel impairments (CFO 0.05, delay 4.5) -> RX
+synchronization + FEC decode), QPSK-S_8/9, NMS-10, Eb/N0 = 4.0 dB, one chip
+— the north-star metric (BASELINE.json targets dvbs2_tx_rx frames/s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: 24.5 Mb/s — the reference's BB sim throughput on its multi-core
-x86 host (refs/TX_RX_BB/QPSK_8_9.txt:41, SPA-50; see BASELINE.md).
+Baseline: 0.22 Mb/s — the reference's full-chain SIM_THR on its multi-core
+x86 host (refs/TX_RX/QPSK_8_9_freq_005_delay_45.txt last rows, SPA-50
+decoder; see BASELINE.md.  The BB-chain metric BENCH_r01 tracked — ref
+baseline 24.5 Mb/s — is also measured and written to BENCH_EXTRA.json
+together with the full-chain number).
 
 Measurement notes (tunneled dev TPU): `block_until_ready` does NOT force
-execution through the axon tunnel (results are materialized lazily on value
-fetch), and (executable, inputs) pairs are memoized. So the harness (a) salts
-PRNG keys with wall-clock nanoseconds, (b) chains all steps of a run inside
-ONE jitted `lax.scan` and fetches the aggregated error counter to the host —
-forcing real end-to-end execution — and (c) times two run lengths and uses
-the difference, which cancels the tunnel round-trip and dispatch overhead.
+execution through the axon tunnel (results materialize lazily on value
+fetch), and (executable, inputs) pairs are memoized. So the harness (a)
+salts PRNG keys with wall-clock nanoseconds, (b) chains all steps of a run
+inside ONE jitted `lax.scan` (threading the stream state) and fetches the
+aggregated error counter to the host — forcing real end-to-end execution —
+and (c) times two run lengths and uses the difference, which cancels the
+tunnel round-trip and dispatch overhead.
 """
 from __future__ import annotations
 
@@ -24,55 +29,101 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_MBPS = 24.5
+FULL_BASELINE_MBPS = 0.22      # refs/TX_RX QPSK_8_9 freq_005_delay_45 SIM_THR
+BB_BASELINE_MBPS = 24.5        # refs/TX_RX_BB/QPSK_8_9.txt:41
+
+
+def _timed_diff(run, key, n_short, n_long, n_win):
+    """Best-of-windows (long - short)/(n_long - n_short) step time."""
+    int(run(n_short, key)[0])          # compile + warm
+    int(run(n_long, key)[0])
+    best = float("inf")
+    for w in range(n_win):
+        kw = jax.random.fold_in(key, 1000 + w)
+        t0 = time.perf_counter()
+        int(run(n_short, kw)[0])
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(run(n_long, kw)[0])
+        t_l = time.perf_counter() - t0
+        best = min(best, (t_l - t_s) / (n_long - n_short))
+    return best
+
+
+def bench_bb(salt: int) -> float:
+    from dvbs2_tpu.config import Config
+    from dvbs2_tpu.chains.txrx_bb import txrx_bb_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10)
+    sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n_steps, key):
+        def body(carry, i):
+            r = txrx_bb_step(jax.random.fold_in(key, i), sigma, cfg, batch)
+            be, fe = carry
+            return (be + r.be, fe + r.fe), None
+        c, _ = jax.lax.scan(body, (jnp.int32(0), jnp.int32(0)),
+                            jnp.arange(n_steps))
+        return c
+
+    dt = _timed_diff(run, jax.random.key(salt), 2, 12, 3)
+    return batch * cfg.K_bch / dt / 1e6
+
+
+def bench_full(salt: int) -> float:
+    from dvbs2_tpu.config import Config
+    from dvbs2_tpu.chains import txrx
+
+    B = int(os.environ.get("BENCH_FULL_STREAMS", "192"))
+    F = int(os.environ.get("BENCH_FULL_FRAMES", "4"))
+    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10,
+                 chn_max_freq_shift=0.05, chn_max_delay=4.5)
+    sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
+    state0 = txrx.txrx_init(cfg, B)
+    # acquisition is a one-off per SNR point in the reference harness too —
+    # excluded from steady-state throughput (like SIM_THR excludes setup)
+    state0 = txrx.acquire(jax.random.key(salt), sigma, cfg, state0, B)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n_steps, key):
+        def body(carry, i):
+            be, fe, st = carry
+            r = txrx.txrx_step(jax.random.fold_in(key, i), sigma, cfg, st,
+                               B, F)
+            return (be + r.be, fe + r.fe, r.state), None
+        (be, fe, _st), _ = jax.lax.scan(
+            body, (jnp.int32(0), jnp.int32(0), state0), jnp.arange(n_steps))
+        return be, fe
+
+    dt = _timed_diff(run, jax.random.key(salt + 1), 1, 5, 3)
+    return B * F * cfg.K_bch / dt / 1e6
 
 
 def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    from dvbs2_tpu.config import Config
-    from dvbs2_tpu.chains.txrx_bb import txrx_bb_step
-
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
-    n_short = int(os.environ.get("BENCH_REPS_SHORT", "2"))
-    n_long = int(os.environ.get("BENCH_REPS_LONG", "12"))
-    n_win = int(os.environ.get("BENCH_WINDOWS", "3"))
-    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10)
-    sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
     salt = time.time_ns() % (2**31)
-    key = jax.random.key(salt)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def run(n_steps, key, sigma):
-        def body(carry, i):
-            r = txrx_bb_step(jax.random.fold_in(key, i), sigma, cfg, batch)
-            be, fe = carry
-            return (be + r.be, fe + r.fe), None
-        (be, fe), _ = jax.lax.scan(
-            body, (jnp.int32(0), jnp.int32(0)), jnp.arange(n_steps))
-        return be, fe
-
-    # compile + warmup both lengths; int() forces real execution
-    int(run(n_short, key, sigma)[0])
-    int(run(n_long, key, sigma)[0])
-
-    best_dt = float("inf")
-    for w in range(n_win):
-        kw = jax.random.fold_in(key, 1000 + w)
-        t0 = time.perf_counter()
-        int(run(n_short, kw, sigma)[0])
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        int(run(n_long, kw, sigma)[0])
-        t_long = time.perf_counter() - t0
-        best_dt = min(best_dt, (t_long - t_short) / (n_long - n_short))
-    mbps = batch * cfg.K_bch / best_dt / 1e6
-
+    full_mbps = bench_full(salt)
+    bb_mbps = bench_bb(salt)
+    with open(os.path.join(os.path.dirname(__file__),
+                           "BENCH_EXTRA.json"), "w") as f:
+        json.dump({
+            "full_chain_info_throughput_qpsk89_nms10_mbps": round(full_mbps, 3),
+            "full_chain_vs_ref_spa50": round(full_mbps / FULL_BASELINE_MBPS, 1),
+            "bb_chain_info_throughput_qpsk89_nms10_mbps": round(bb_mbps, 3),
+            "bb_vs_ref_spa50": round(bb_mbps / BB_BASELINE_MBPS, 3),
+            "note": ("full chain = TX shaping + channel (CFO 0.05, delay "
+                     "4.5) + RX sync + NMS-10 decode, steady-state after "
+                     "acquisition, one chip; refs are the reference's "
+                     "multi-threaded x86 SIM_THR (SPA-50)"),
+        }, f, indent=1)
     print(json.dumps({
-        "metric": "bb_chain_info_throughput_qpsk89_nms10",
-        "value": round(mbps, 3),
+        "metric": "full_chain_info_throughput_qpsk89_nms10",
+        "value": round(full_mbps, 3),
         "unit": "Mb/s",
-        "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+        "vs_baseline": round(full_mbps / FULL_BASELINE_MBPS, 3),
     }))
 
 

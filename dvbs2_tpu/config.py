@@ -60,6 +60,11 @@ class Config:
     # LDPC table construction variant ('' = frozen default; 'v2s<seed>'/'r1'
     # address specific candidates, used by tools/parity_sweep.py selection)
     ldpc_variant: str = ""
+    # bit-interleaver read order override ('' = the standard's per-modcod
+    # order, DVBS2.cpp:287-356; the aff3ct Interleaver factory exposes the
+    # same choice — used by the table-selection sweeps because a
+    # reconstructed table's UEP profile can prefer the other orientation)
+    itl_read_order: str = ""
     # estimator / sync genie toggles
     est_type: str = "DVBS2"           # DVBS2 | PERFECT
     perfect_sync: bool = False
@@ -151,6 +156,8 @@ class Config:
     @property
     def read_order(self) -> str:
         # reference: DVBS2.cpp:287-356 (TOP_RIGHT only for 8PSK-S_3/5)
+        if self.itl_read_order:
+            return self.itl_read_order
         return "TOP_RIGHT" if self.modcod == "8PSK-S_3/5" else "TOP_LEFT"
 
     @property

@@ -155,6 +155,24 @@ def integer_delay(x: jnp.ndarray, delay: int,
     return ext[:, :x.shape[1]], ext[:, x.shape[1]:]
 
 
+def variable_delay(x: jnp.ndarray, delay: jnp.ndarray, max_delay: int,
+                   state: Optional[jnp.ndarray] = None):
+    """Runtime-settable per-stream integer delay (Variable_delay_cc_naive
+    .hxx:8-19): delay (B,) int32 in [0, max_delay], changeable between
+    calls.  The carry always holds the last ``max_delay`` samples; the
+    output gathers at a per-stream offset, so the delay is a traced value
+    (one gather, no recompile on change)."""
+    B, N, _ = x.shape
+    if state is None:
+        state = jnp.zeros((B, max_delay, 2), jnp.float32)
+    ext = jnp.concatenate([state, x], axis=1)          # (B, max_delay+N, 2)
+    start = max_delay - jnp.asarray(delay, jnp.int32)[:, None]
+    idx = jnp.clip(start + jnp.arange(N)[None, :], 0, max_delay + N - 1)
+    brow = jnp.arange(B)[:, None]
+    y = jnp.stack([ext[..., 0][brow, idx], ext[..., 1][brow, idx]], axis=-1)
+    return y, ext[:, N:]                               # last max_delay samples
+
+
 class NcoState(NamedTuple):
     n: jnp.ndarray  # () float32 phase index
 

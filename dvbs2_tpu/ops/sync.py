@@ -306,13 +306,21 @@ def step_mf_scan(x: jnp.ndarray, cfg: Config, state: StepMfState,
             (y2, is_strobe.astype(jnp.int8))
 
     xs = x.transpose(1, 0, 2)
-    state, (ys, strobes) = jax.lax.scan(step, state, xs)
+    state, (ys, strobes) = jax.lax.scan(step, state, xs,
+                                        unroll=SCAN_UNROLL)
     return ys.transpose(1, 0, 2), strobes.T, state
 
 
 # ---------------------------------------------------------------------------
 # Gardner timing recovery (Synchronizer_Gardner_fast.cpp:35-132)
 # ---------------------------------------------------------------------------
+
+# Per-sample feedback scans run tens of thousands of tiny VPU iterations per
+# frame batch; unrolling amortizes the TPU scan-iteration overhead (loop
+# bookkeeping + state copy) across several samples without changing
+# semantics — the moral counterpart of the reference's hold_size=101
+# batching in Synchronizer_Gardner_ultra_osf2.cpp:60-105.
+SCAN_UNROLL = 8
 
 class GardnerState(NamedTuple):
     farrow: jnp.ndarray     # (B, 3, 2) last input samples
@@ -430,7 +438,8 @@ def gardner_scan(x: jnp.ndarray, cfg: Config,
         return new, (y, is_strobe.astype(jnp.int8))
 
     xs = x.transpose(1, 0, 2)                             # (N, B, 2)
-    state, (ys, strobes) = jax.lax.scan(step, state, xs)
+    state, (ys, strobes) = jax.lax.scan(step, state, xs,
+                                        unroll=SCAN_UNROLL)
     return ys.transpose(1, 0, 2), strobes.T, state
 
 

@@ -79,6 +79,10 @@ def sharded_fir(taps_key: tuple, n_devices: int):
         out_specs=(P(None, AXIS, None), P(None, AXIS, None))))
 
     def fn(x, carry):
+        assert x.shape[1] % n_devices == 0 and \
+            x.shape[1] // n_devices >= T - 1, (
+                "each sample shard must hold >= n_taps-1 samples for the "
+                "single-hop halo", x.shape, T, n_devices)
         y, tails = inner(x, carry)
         return y, tails[:, -(T - 1):]
 

@@ -137,3 +137,23 @@ def test_unit_delay():
     y2, _ = filters.unit_delay(b, st)
     np.testing.assert_array_equal(np.asarray(y1), 0.0)
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(a))
+
+
+def test_variable_delay_runtime_settable():
+    rng = np.random.RandomState(8)
+    B, N, D = 2, 32, 8
+    x1 = jnp.asarray(rng.randn(B, N, 2).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(B, N, 2).astype(np.float32))
+    d = jnp.asarray([3, 5], jnp.int32)
+    y1, st = filters.variable_delay(x1, d, D)
+    y2, _ = filters.variable_delay(x2, d, D, st)
+    full = np.concatenate([np.zeros((B, D, 2), np.float32),
+                           np.asarray(x1), np.asarray(x2)], axis=1)
+    for b, db in enumerate([3, 5]):
+        np.testing.assert_allclose(np.asarray(y1)[b], full[b, D - db:D - db + N])
+        np.testing.assert_allclose(np.asarray(y2)[b],
+                                   full[b, D - db + N:D - db + 2 * N])
+    # delay can change between calls without recompilation semantics issues
+    d2 = jnp.asarray([0, 7], jnp.int32)
+    y3, _ = filters.variable_delay(x1, d2, D, st)
+    np.testing.assert_allclose(np.asarray(y3)[0], np.asarray(x1)[0])

@@ -78,6 +78,10 @@ def main():
                   flush=True)
         out["results"][var] = {"chi2": chi2, "points": rows}
         print(f"  {var}: joint chi2={chi2:.1f}", flush=True)
+        # incremental write so a timeout/kill loses at most one variant
+        path = args.out or f"ldpc_joint_{args.rate.replace('/', '_')}.json"
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
     ranked = sorted(out["results"], key=lambda v: out["results"][v]["chi2"])
     out["ranking"] = ranked
     print("RANKING:", ", ".join(
