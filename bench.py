@@ -83,8 +83,10 @@ def bench_full(salt: int) -> float:
     sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
     state0 = txrx.txrx_init(cfg, B)
     # acquisition is a one-off per SNR point in the reference harness too —
-    # excluded from steady-state throughput (like SIM_THR excludes setup)
-    state0 = txrx.acquire(jax.random.key(salt), sigma, cfg, state0, B)
+    # excluded from steady-state throughput (like SIM_THR excludes setup);
+    # shortened learning phases: lock quality doesn't change step timing
+    state0 = txrx.acquire(jax.random.key(salt), sigma, cfg, state0, B,
+                          max_waiting=60, learn12=40, learn3=40)
 
     @functools.partial(jax.jit, static_argnums=0)
     def run(n_steps, key):

@@ -125,11 +125,13 @@ _CACHE: dict = {}
 
 _GEOM = {"3/5": (9720, 18, _degrees_3_5), "8/9": (14400, 5, _degrees_8_9)}
 
-# Frozen winners of the tools/parity_sweep.py SPA-50 selection (see module
-# docstring); candidates are interchangeable same-ensemble codes, these land
-# closest to refs/TX_RX_BB within MC noise (selection JSONs:
-# ldpc_scan_3_5_v3.json, ldpc_scan_8_9_f.json; confirmation:
-# parity_spa50.json).
+# Frozen winners of the SPA-50 selection sweeps, chosen JOINTLY across the
+# MODCODs sharing each rate (QPSK parity within MC noise is achieved; under
+# 8PSK the column interleaver weights codeword spans by constellation-bit
+# reliability and every reconstruction candidate measures a residual FER
+# gap at the steepest ref point — see ldpc_joint_*.json / ldpc_uep_*.json
+# scans, ldpc_scan_* selection history, and parity_spa50.json for the
+# frozen defaults' full 5-MODCOD record).
 DEFAULT_VARIANT = {"3/5": "v3s2", "8/9": "v2s1"}
 
 

@@ -316,11 +316,16 @@ def step_mf_scan(x: jnp.ndarray, cfg: Config, state: StepMfState,
 # ---------------------------------------------------------------------------
 
 # Per-sample feedback scans run tens of thousands of tiny VPU iterations per
-# frame batch; unrolling amortizes the TPU scan-iteration overhead (loop
-# bookkeeping + state copy) across several samples without changing
-# semantics — the moral counterpart of the reference's hold_size=101
-# batching in Synchronizer_Gardner_ultra_osf2.cpp:60-105.
-SCAN_UNROLL = 8
+# frame batch; unrolling can amortize the scan-iteration overhead (loop
+# bookkeeping + state copy) across samples without changing semantics — the
+# moral counterpart of the reference's hold_size=101 batching in
+# Synchronizer_Gardner_ultra_osf2.cpp:60-105.  MEASURED on the tunneled TPU
+# backend: unroll=8 blows the XLA compile up pathologically (>25 min, hung)
+# while unroll=1 compiles the full chain in ~1-8 min; steady-state step
+# time was scan-dominated either way, so the default stays 1 and the knob
+# is env-overridable for backends where unroll pays.
+import os as _os
+SCAN_UNROLL = int(_os.environ.get("DVBS2_SCAN_UNROLL", "1"))
 
 class GardnerState(NamedTuple):
     farrow: jnp.ndarray     # (B, 3, 2) last input samples

@@ -177,7 +177,9 @@ def run_parity(args):
                          "ratio": fer / fer_ref, "fe": fe, "fra": fr,
                          "z_mc": z, "thr_mbps": fr * cfg.K_bch / dt / 1e6})
             print(f"    ratio={fer/fer_ref:.3f} z={z:+.2f}")
-        out["configs"][name] = rows
+            out["configs"][name] = rows
+            with open(args.out, "w") as f:    # incremental
+                json.dump(out, f, indent=1)
     out["worst_abs_z"] = worst
     out["note"] = ("z_mc = log-FER deviation in units of combined MC std; "
                    "|z|<~2.5 at every point == parity within Monte-Carlo "
