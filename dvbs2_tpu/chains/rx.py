@@ -56,7 +56,7 @@ def rx_init(cfg: Config, batch: int) -> RxState:
 
 
 def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
-              n_frames: int, decode: bool = True):
+              n_frames: int, decode: bool = True, act: bool = True):
     """Process a (B, n_frames*L*osf, 2) sample stream; decode n_frames.
 
     Returns (bits (B, n_frames, K_bch) or None if decode=False, info dict
@@ -91,7 +91,7 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
             y, cfg.chn_max_delay, cfg.shp_osf, state.timing_frac)
         gstate = state.gardner
     else:
-        y, strobe, gstate = sync.gardner_scan(y, cfg, state.gardner)
+        y, strobe, gstate = sync.gardner(y, cfg, state.gardner, act=act)
         frac_state = state.timing_frac
 
     # strobed-symbol extraction -> (B, n_frames, L, 2)
@@ -106,6 +106,15 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
         # (known residual = 0, Synchronizer_freq_fine_perfect) — the fine
         # estimators are bypassed exactly like the reference's PERFECT
         # variants, so this mode truly isolates FEC from synchronization
+        # Symbol delay at the timing-sync output: two RRC group delays +
+        # channel integer delay + 3 samples for the two cascaded Farrow
+        # stages (channel frac delay + genie interpolator).  This differs
+        # from the reference's ref_delay formula (2*grp_delay +
+        # (floor(max_delay)+1)/osf) by one symbol because this build's
+        # channel applies floor(max_delay) integer samples total (see
+        # chains/channel_chain.py delay decomposition note); the value is
+        # pinned by tests at osf=2 only.
+        assert cfg.shp_osf == 2, "genie timing delay calibrated for osf=2"
         known_delay = (2 * cfg.shp_grp_delay * cfg.shp_osf
                        + int(cfg.chn_max_delay) + 3) // cfg.shp_osf
 
@@ -144,8 +153,11 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
     # PLH/pilot removal + demod + decode (flat batch B*n_frames)
     xfec = framer.deframe(fine, cfg.modcod)
     if cfg.est_type == "PERFECT":
-        sg = jnp.broadcast_to(jnp.asarray(sigma_true, jnp.float32),
-                              (xfec.shape[0], 1))
+        sg = jnp.asarray(sigma_true, jnp.float32)
+        if sg.ndim == 1:          # per-stream sigma -> per flat (b, f) frame
+            sg = jnp.repeat(sg, n_frames)[:, None]
+        else:
+            sg = jnp.broadcast_to(sg, (xfec.shape[0], 1))
     else:
         sg = estimator.estimate_sigma(xfec)
     llr = modem.demodulate(xfec, sg, cfg.mod)

@@ -88,15 +88,23 @@ def _tx_and_channel(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     bits = jax.random.bernoulli(kb, 0.5,
                                 (batch, F, cfg.K_bch)).astype(jnp.int8)
     x, tx_state = tx_stream(bits, cfg, state.tx)
-    y, ch_state = channel_chain.apply(kn, x, sigma, cfg, state.ch)
+    # sigma may be per-stream (B,) — each stream is an independent
+    # simulation, so a batch can sweep several SNR points at once
+    sg = jnp.asarray(sigma, jnp.float32)
+    if sg.ndim == 1:
+        sg = sg[:, None, None]
+    y, ch_state = channel_chain.apply(kn, x, sg, cfg, state.ch)
     return bits, y, tx_state, ch_state
 
 
 class FullStepResult(NamedTuple):
-    be: jnp.ndarray
-    fe: jnp.ndarray
-    n_frames: jnp.ndarray
+    be: jnp.ndarray          # () total bit errors this step
+    fe: jnp.ndarray          # () total frame errors
+    n_frames: jnp.ndarray    # () total monitored frames
     state: TxRxState
+    be_s: jnp.ndarray = None   # (B,) per-stream bit errors
+    fe_s: jnp.ndarray = None   # (B,) per-stream frame errors
+    n_s: jnp.ndarray = None    # (B,) per-stream monitored frames
 
 
 def txrx_step(key: jax.Array, sigma, cfg: Config, state: TxRxState,
@@ -119,17 +127,18 @@ def txrx_step(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     uf = info["underflow"]                                # (B,) 0/1
     valid = ((gidx >= warmup_frames + state.slips[:, None])
              & (idx >= 0) & (uf[:, None] == 0))
-    be = jnp.sum(jnp.where(valid, errs, 0))
-    fe = jnp.sum(jnp.where(valid, errs > 0, False))
+    be_s = jnp.sum(jnp.where(valid, errs, 0), axis=1)
+    fe_s = jnp.sum(jnp.where(valid, errs > 0, False), axis=1)
+    n_s = jnp.sum(valid.astype(jnp.int32), axis=1)
 
     new_state = TxRxState(
         tx=tx_state, ch=ch_state, rx=rx_state,
         prev_bits=cat[:, F:],
         frame_count=state.frame_count + F,
         slips=state.slips + uf * F)
-    return FullStepResult(be=be, fe=fe,
-                          n_frames=jnp.sum(valid.astype(jnp.int32)),
-                          state=new_state)
+    return FullStepResult(be=jnp.sum(be_s), fe=jnp.sum(fe_s),
+                          n_frames=jnp.sum(n_s),
+                          state=new_state, be_s=be_s, fe_s=fe_s, n_s=n_s)
 
 
 @functools.lru_cache(maxsize=None)
@@ -180,7 +189,7 @@ def jit_sync_step(cfg: Config, batch: int, frames_per_step: int):
         bits, y, tx_state, ch_state = _tx_and_channel(
             key, sigma, cfg, state, batch, F)
         _none, info, rx_state = rx_frames(y, sigma, cfg, state.rx, F,
-                                          decode=False)
+                                          decode=False, act=False)
         new_state = TxRxState(
             tx=tx_state, ch=ch_state, rx=rx_state,
             prev_bits=jnp.concatenate([state.prev_bits, bits],

@@ -34,11 +34,16 @@ class StepResult(NamedTuple):
     esn0_est_sum: jnp.ndarray = jnp.float32(0.0)
 
 
-def tx_bb(bits: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """(F, K_bch) info bits -> (F, pl_frame_size) unit-energy symbols."""
+def tx_bb(bits: jnp.ndarray, cfg: Config,
+          group_perm: jnp.ndarray = None) -> jnp.ndarray:
+    """(F, K_bch) info bits -> (F, pl_frame_size) unit-energy symbols.
+
+    ``group_perm``: optional traced UEP row-placement permutation of the
+    LDPC table (ops/ldpc.py) — lets the placement scans reuse one compiled
+    step across hundreds of placements."""
     scr = scrambler.bb_scramble(bits)
     bch_cw = bch.encode(scr, cfg.K_bch)
-    ldpc_cw = ldpc.encode(bch_cw, cfg.ldpc_code)
+    ldpc_cw = ldpc.encode(bch_cw, cfg.ldpc_code, group_perm=group_perm)
     itl = interleaver.interleave(ldpc_cw, cfg.itl_n_cols, cfg.read_order)
     sym = modem.modulate(itl, cfg.mod)
     pl = framer.frame(sym, cfg.modcod)
@@ -46,7 +51,7 @@ def tx_bb(bits: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 
 def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config,
-          with_est: bool = False):
+          with_est: bool = False, group_perm: jnp.ndarray = None):
     """(F, pl_frame_size) noisy symbols -> (F, K_bch) decoded info bits
     (optionally also the estimator's per-frame sigma for the noise
     reporter)."""
@@ -60,7 +65,8 @@ def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config,
     llr = interleaver.deinterleave(llr, cfg.itl_n_cols, cfg.read_order)
     post = ldpc.decode(llr, cfg.ldpc_code, n_ite=cfg.ldpc_nite, implem=cfg.ldpc_implem,
                        norm_factor=cfg.ldpc_norm_factor,
-                       syndrome_exit=cfg.ldpc_syndrome_exit)
+                       syndrome_exit=cfg.ldpc_syndrome_exit,
+                       group_perm=group_perm)
     hard = ldpc.hard_decision(post)[:, :cfg.N_bch]
     info, _ok = bch.decode(hard, cfg.K_bch)
     dec = scrambler.bb_scramble(info)       # BB descramble == scramble
@@ -68,12 +74,12 @@ def rx_bb(pl_noisy: jnp.ndarray, sigma_true: jnp.ndarray, cfg: Config,
 
 
 def txrx_bb_step_bits(bits: jnp.ndarray, key: jax.Array, sigma: jnp.ndarray,
-                      cfg: Config) -> StepResult:
+                      cfg: Config, group_perm: jnp.ndarray = None) -> StepResult:
     """Monte-Carlo step over CALLER-PROVIDED info bits (host sources:
     --src-type USER/USER_BIN/AZCW; reference DVBS2.cpp:359-389)."""
-    x = tx_bb(bits, cfg)
+    x = tx_bb(bits, cfg, group_perm=group_perm)
     y = channel.awgn(key, x, sigma)
-    dec, sig_est = rx_bb(y, sigma, cfg, with_est=True)
+    dec, sig_est = rx_bb(y, sigma, cfg, with_est=True, group_perm=group_perm)
     errs = jnp.sum(bits != dec, axis=-1)
     esn0_est = 10.0 * jnp.log10(1.0 / (2.0 * sig_est[:, 0] ** 2))
     return StepResult(be=jnp.sum(errs), fe=jnp.sum(errs > 0),
@@ -82,11 +88,11 @@ def txrx_bb_step_bits(bits: jnp.ndarray, key: jax.Array, sigma: jnp.ndarray,
 
 
 def txrx_bb_step(key: jax.Array, sigma: jnp.ndarray, cfg: Config,
-                 batch: int) -> StepResult:
+                 batch: int, group_perm: jnp.ndarray = None) -> StepResult:
     """One Monte-Carlo batch: generate, transmit, corrupt, receive, count."""
     kb, kn = jax.random.split(key)
     bits = jax.random.bernoulli(kb, 0.5, (batch, cfg.K_bch)).astype(jnp.int8)
-    return txrx_bb_step_bits(bits, kn, sigma, cfg)
+    return txrx_bb_step_bits(bits, kn, sigma, cfg, group_perm=group_perm)
 
 
 @functools.lru_cache(maxsize=None)

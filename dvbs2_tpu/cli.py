@@ -41,7 +41,11 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
     g.add_argument("--stats-path", default=None,
                    help="write probe/stats dumps to this path prefix")
     g.add_argument("--section", default=None,
-                   help="run only this phase section (reference --section)")
+                   help="accepted for command-line parity; the reference "
+                        "parses it for an external 'bridge binary' and no "
+                        "code in its tree consumes it either "
+                        "(DVBS2.cpp:91,141 — no other reader), so it is "
+                        "deliberately inert here too")
     g.add_argument("--snk-path", default="sink.out")
     g.add_argument("--dump-filename", default="dump")
     g.add_argument("--max-frames", type=int, default=10_000_000)

@@ -77,6 +77,15 @@ class Config:
     shp_rolloff: float = 0.2
     shp_osf: int = 2
     # timing sync loop (reference: Factory/Module/Synchronizer_timing.hpp:28-30)
+    # stm_type ULTRA = strobe-run blocked Gardner (the reference's
+    # Synchronizer_Gardner_ultra_osf2 amortization, hold_size samples per
+    # block with an exact 4-sample tail); FAST = exact per-sample scan.
+    # ULTRA is the default tracking mode here because the per-sample scan is
+    # latency-bound on TPU (~18 us/iteration); acquisition (step-MF) always
+    # runs the exact per-sample loop, mirroring the reference where the
+    # ultra path only engages once act/lock is established.
+    stm_type: str = "ULTRA"
+    stm_hold_size: int = 101
     stm_damping: float = math.sqrt(0.5)
     stm_norm_bandwidth: float = 5e-5
     stm_detector_gain: float = 2.0

@@ -135,9 +135,65 @@ _GEOM = {"3/5": (9720, 18, _degrees_3_5), "8/9": (14400, 5, _degrees_8_9)}
 DEFAULT_VARIANT = {"3/5": "v3s2", "8/9": "v2s1"}
 
 
+def _permute_rows(rows: tuple, degrees: list, spec: str) -> tuple:
+    """Reassign table rows to group POSITIONS — the UEP placement knob.
+
+    Under QPSK this is a pure coordinate permutation of the same code
+    (identical FER); under 8PSK/16APSK the column interleaver maps group
+    positions to constellation bit positions of unequal reliability
+    (DVBS2.cpp:451-476 + the Gray structure of conf/mod/8PSK.mod), so WHERE
+    the high-degree groups sit changes the measured waterfall.  The genuine
+    Annex C tables embed one specific placement; this knob lets the
+    selection scans search that axis while keeping the (QPSK-verified)
+    underlying graph fixed.
+
+    Spec (position of the high-degree groups): F = first (identity),
+    L = last, M = middle, E = evenly spread, S<k> = seeded random positions
+    for high-degree groups (low keep order), R<k> = seeded permutation of
+    ALL rows.
+    """
+    return tuple(rows[g] for g in placement_order(len(rows), degrees, spec))
+
+
+def placement_order(G: int, degrees: list, spec: str) -> list:
+    """The permutation sigma for a placement spec: new group position i
+    holds base row sigma[i].  Also consumed (as a traced gather) by
+    ops/ldpc.py's group_perm fast path, which lets the UEP placement scans
+    reuse ONE compiled program across hundreds of placements."""
+    hi = [g for g in range(G) if degrees[g] > min(degrees)]
+    lo = [g for g in range(G) if degrees[g] <= min(degrees)]
+    if spec == "F":
+        order = list(range(G))
+    elif spec == "L":
+        order = lo + hi
+    elif spec == "M":
+        pad = (G - len(hi)) // 2
+        order = lo[:pad] + hi + lo[pad:]
+    elif spec == "E":
+        stride = G / len(hi)
+        pos = {int(i * stride) for i in range(len(hi))}
+        order, hit, lot = [], iter(hi), iter(lo)
+        for i in range(G):
+            order.append(next(hit) if i in pos else next(lot))
+    elif spec.startswith("S"):
+        rng = np.random.RandomState(int(spec[1:]))
+        pos = set(rng.choice(G, size=len(hi), replace=False).tolist())
+        order, hit, lot = [], iter(hi), iter(lo)
+        for i in range(G):
+            order.append(next(hit) if i in pos else next(lot))
+    elif spec.startswith("R"):
+        rng = np.random.RandomState(int(spec[1:]))
+        order = rng.permutation(G).tolist()
+    else:
+        raise ValueError(f"unknown UEP placement spec {spec!r}")
+    return order
+
+
 def get_table(rate: str) -> LdpcTable:
     """Address table for '3/5' or '8/9'; optional '@<variant>' suffix selects
-    a specific construction (e.g. '8/9@v2s3', '3/5@r1')."""
+    a specific construction (e.g. '8/9@v2s3', '3/5@r1'); a '-p<spec>'
+    variant suffix applies a UEP row-placement permutation
+    (e.g. '8/9@v2s1-pL')."""
     if rate in _CACHE:
         return _CACHE[rate]
     base, _, variant = rate.partition("@")
@@ -145,6 +201,7 @@ def get_table(rate: str) -> LdpcTable:
         raise ValueError(f"unsupported LDPC rate {rate!r}")
     K, q, degrees_fn = _GEOM[base]
     variant = variant or DEFAULT_VARIANT[base]
+    variant, _, perm_spec = variant.partition("-p")
     if variant == "r1":
         seed = {"3/5": 0x35, "8/9": 0x89}[base]
         rows = _generate_ensemble_table(K, q, degrees_fn(), seed=seed)
@@ -175,6 +232,9 @@ def get_table(rate: str) -> LdpcTable:
         source = f"ensemble-iid-{variant}"
     else:
         raise ValueError(f"unknown LDPC table variant {variant!r}")
+    if perm_spec:
+        rows = _permute_rows(rows, degrees_fn(), perm_spec)
+        source += f"-p{perm_spec}"
     t = LdpcTable(base, K=K, q=q, rows=rows, source=source)
     validate_table(t)
     _CACHE[rate] = t

@@ -28,17 +28,30 @@ import jax
 import numpy as np
 
 
+def _salted(val, r: int):
+    """Vary the input per rep (roll the first array leaf) so backends that
+    memoize (executable, inputs) pairs — e.g. the tunneled TPU — actually
+    execute every rep instead of replaying a cached result."""
+    leaves, treedef = jax.tree_util.tree_flatten(val)
+    if leaves and getattr(leaves[0], "ndim", 0) > 0:
+        leaves = [jax.numpy.roll(leaves[0], r, axis=-1)] + leaves[1:]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def profile(stages: Sequence[Tuple[str, str, Callable, object]],
             reps: int = 8) -> List[Tuple[str, float]]:
-    """Time each (module, task, fn, input) stage over ``reps`` executions."""
+    """Time each (module, task, fn, input) stage over ``reps`` executions,
+    salting the input and fetching a scalar of the result every rep (see
+    bench.py's tunnel methodology)."""
     out = []
     for (mod, task, fn, val) in stages:
         f = jax.jit(fn)
         jax.block_until_ready(f(val))
         np.asarray(jax.tree_util.tree_leaves(f(val))[0]).ravel()[:1]
         t0 = time.perf_counter()
-        rs = [f(val) for _ in range(reps)]
-        np.asarray(jax.tree_util.tree_leaves(rs[-1])[0]).ravel()[:1]
+        for r in range(reps):
+            res = f(_salted(val, 1 + r))
+            np.asarray(jax.tree_util.tree_leaves(res)[0]).ravel()[:1]
         out.append((f"{mod}::{task}",
                     (time.perf_counter() - t0) / reps))
     return out

@@ -102,8 +102,30 @@ def _encode_gather(rate: str):
 # encoder
 # ---------------------------------------------------------------------------
 
-def encode(bits: jnp.ndarray, rate: str) -> jnp.ndarray:
-    """(F, K) info bits -> (F, N) codeword (IRA accumulator parity)."""
+def _gather_groups(x: jnp.ndarray, order: jnp.ndarray, K: int) -> jnp.ndarray:
+    """out[:, g*360:(g+1)*360] = x[:, order[g]*360:...] on the info part;
+    the parity tail passes through unchanged."""
+    F = x.shape[0]
+    sys = x[:, :K].reshape(F, K // 360, 360)[:, order].reshape(F, K)
+    return jnp.concatenate([sys, x[:, K:]], axis=-1)
+
+
+def encode(bits: jnp.ndarray, rate: str,
+           group_perm: jnp.ndarray = None) -> jnp.ndarray:
+    """(F, K) info bits -> (F, N) codeword (IRA accumulator parity).
+
+    ``group_perm`` (int (G,) array, may be traced): encode with the rate's
+    base table under a UEP row-placement permutation sigma (new group g uses
+    base row sigma[g], data/ldpc_tables.placement_order) WITHOUT baking a
+    new table into the program — pure data movement around the fixed
+    encoder, so placement scans reuse one compiled step.
+    """
+    if group_perm is not None:
+        perm = jnp.asarray(group_perm, jnp.int32)
+        # base-row j must see the group g with sigma[g] == j: gather inverse
+        v = _gather_groups(bits, jnp.argsort(perm), bits.shape[1])
+        cw = encode(v, rate)
+        return jnp.concatenate([bits, cw[:, bits.shape[1]:]], axis=-1)
     s = build_structs(rate)
     # pre-parity: XOR of info bits feeding each check, gathered statically
     # (checks already in global order; pad index K hits the zero column)
@@ -187,7 +209,8 @@ def _check_update(Lq: jnp.ndarray, implem: str, alpha: float):
 
 def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
            norm_factor: float = 0.875, use_pallas: str = "auto",
-           syndrome_exit: bool = True) -> jnp.ndarray:
+           syndrome_exit: bool = True,
+           group_perm: jnp.ndarray = None) -> jnp.ndarray:
     """(F, N) channel LLRs (positive => bit 0) -> (F, N) posterior LLRs.
 
     Grouped-layered BP with roll-only layer updates; ``implem`` in
@@ -197,7 +220,18 @@ def decode(llr: jnp.ndarray, rate: str, n_ite: int = 10, implem: str = "NMS",
     the equivalent off). On TPU the (N)MS path dispatches to the
     VMEM-resident Pallas kernel (ops/ldpc_pallas.py, ~5x the XLA version);
     ``use_pallas`` in {"auto", "never", "always"}.
+
+    ``group_perm``: decode the base table under a (possibly traced) UEP
+    row-placement permutation — see ``encode``.
     """
+    if group_perm is not None:
+        perm = jnp.asarray(group_perm, jnp.int32)
+        K = build_structs(rate).K
+        llr2 = _gather_groups(llr, jnp.argsort(perm), K)
+        post = decode(llr2, rate, n_ite=n_ite, implem=implem,
+                      norm_factor=norm_factor, use_pallas=use_pallas,
+                      syndrome_exit=syndrome_exit)
+        return _gather_groups(post, perm, K)
     if use_pallas != "never":
         on_tpu = jax.default_backend() not in ("cpu",)
         if use_pallas == "always" or on_tpu:

@@ -449,6 +449,138 @@ def gardner_scan(x: jnp.ndarray, cfg: Config,
 
 
 # ---------------------------------------------------------------------------
+# strobe-run blocked Gardner (Synchronizer_Gardner_ultra_osf2.cpp:60-105)
+# ---------------------------------------------------------------------------
+
+def _pick_hold(n: int, target: int, lo: int = 16, hi: int = 512) -> int:
+    """Largest divisor of ``n`` in [lo, hi] closest to ``target`` so the
+    block scan tiles the stream exactly (no per-sample remainder)."""
+    best, best_d = 0, 10 ** 9
+    for h in range(lo, min(hi, n) + 1):
+        if n % h == 0 and abs(h - target) < best_d:
+            best, best_d = h, abs(h - target)
+    return best
+
+
+def gardner_block(st: GardnerState, xblk: jnp.ndarray, kp: float, ki: float,
+                  osf: int):
+    """One ``H``-sample block of the blocked Gardner (osf=2): the first H-4
+    samples assume steady lock — mu frozen (Farrow becomes a 4-tap block
+    FIR) and strobes forced to alternate — so the TED errors and the PI loop
+    filter collapse to vectorized prefix sums; the last 4 samples run the
+    exact per-sample state machine so mu/NCO resynchronize every block.
+
+    This is the reference's own ULTRA amortization (Synchronizer_Gardner_
+    ultra_osf2.cpp:60-105, hold_size blocks with a 4-sample exact tail),
+    with one refinement: the NCO accumulates the exact increment
+    sum(strobe - W_j) instead of the reference's sum(strobe - 1/2), so the
+    only approximation left is the frozen-mu interpolation.
+    """
+    B, H, _ = xblk.shape
+    body = H - 4
+    brow = jnp.arange(B)
+
+    # Farrow over the body with frozen per-stream mu
+    ext = jnp.concatenate([st.farrow, xblk[:, :body]], axis=1)  # (B,body+3,2)
+    b = filters.farrow_taps(st.mu)                              # (4, B)
+    y = (b[0][:, None, None] * ext[:, :body]
+         + b[1][:, None, None] * ext[:, 1:body + 1]
+         + b[2][:, None, None] * ext[:, 2:body + 2]
+         + b[3][:, None, None] * ext[:, 3:body + 3])            # (B, body, 2)
+
+    # forced alternating strobes continuing the carried history
+    s_prev = st.history & 1
+    par = (jnp.arange(body) % 2).astype(jnp.int32)
+    strobe = (1 - s_prev[:, None] + par[None, :]) % 2           # (B, body)
+
+    # Gardner TED on every strobed sample: e[j] = y[j-1] . (y[j-2] - y[j])
+    # (in alternating lock popcount(history)==1 at every step, so the
+    # TED buffer holds exactly the last two Farrow outputs)
+    ym1 = st.ted_buf[brow, st.mid]                              # y[-1]
+    ym2 = st.ted_buf[brow, st.head]                             # y[-2]
+    yext = jnp.concatenate([ym2[:, None], ym1[:, None], y], axis=1)
+    e = (yext[:, 1:-1, 0] * (yext[:, :-2, 0] - yext[:, 2:, 0])
+         + yext[:, 1:-1, 1] * (yext[:, :-2, 1] - yext[:, 2:, 1]))
+    e = jnp.where(strobe > 0, e, 0.0)                           # (B, body)
+
+    # PI loop filter as prefix sums (nothing feeds back inside the body)
+    lf_prev = st.lf_prev[:, None] + ki * jnp.cumsum(e, axis=1)
+    lf_out = lf_prev + kp * e
+    # exact NCO increment: nco[j] = nco[j-1] + strobe[j] - (lf_out[j-1]+1/osf)
+    w = (1.0 / osf) + jnp.concatenate([st.lf_out[:, None], lf_out[:, :-1]],
+                                      axis=1)
+    nco = st.nco + jnp.sum(strobe.astype(jnp.float32) - w, axis=1)
+
+    # post-body carry: TED buffer = last two outputs at the rotated slots
+    head = (st.head - body) % osf
+    mid = (st.mid - body) % osf
+    buf = st.ted_buf.at[brow, mid].set(y[:, -1]).at[brow, head].set(y[:, -2])
+    hist = (strobe[:, -2] << 1) + strobe[:, -1]
+    st2 = GardnerState(farrow=xblk[:, body - 3:body], ted_buf=buf, head=head,
+                       mid=mid, history=hist, nco=nco,
+                       lf_prev=lf_prev[:, -1], lf_out=lf_out[:, -1],
+                       mu=st.mu)
+
+    # exact 4-sample tail (statically unrolled)
+    ys_t, ss_t = [], []
+    for t in range(4):
+        st2, yt, s_t = gardner_step(st2, xblk[:, body + t], kp, ki, osf)
+        ys_t.append(yt)
+        ss_t.append(s_t.astype(jnp.int32))
+    y_all = jnp.concatenate([y, jnp.stack(ys_t, axis=1)], axis=1)
+    s_all = jnp.concatenate([strobe, jnp.stack(ss_t, axis=1)], axis=1)
+    return st2, y_all, s_all.astype(jnp.int8)
+
+
+def gardner_scan_blocked(x: jnp.ndarray, cfg: Config,
+                         state: Optional[GardnerState] = None):
+    """Blocked Gardner over a (B, N, 2) stream — same signature/carry as
+    ``gardner_scan`` but scanning hold-size blocks instead of samples.
+    Requires osf=2 (like the reference's ultra_osf2); any stream tail that
+    doesn't tile into blocks falls back to the exact per-sample scan."""
+    B, N, _ = x.shape
+    osf = cfg.shp_osf
+    if osf != 2:
+        return gardner_scan(x, cfg, state)
+    kp, ki = gardner_gains(cfg)
+    if state is None:
+        state = gardner_init(B, osf)
+    H = _pick_hold(N, cfg.stm_hold_size)
+    if H < 8:
+        return gardner_scan(x, cfg, state)
+    nblk = N // H
+
+    def blk(st, xb):
+        st, y, s = gardner_block(st, xb, kp, ki, osf)
+        return st, (y, s)
+
+    xs = x[:, :nblk * H].reshape(B, nblk, H, 2).transpose(1, 0, 2, 3)
+    state, (ys, ss) = jax.lax.scan(blk, state, xs)
+    y = ys.transpose(1, 0, 2, 3).reshape(B, nblk * H, 2)
+    s = ss.transpose(1, 0, 2).reshape(B, nblk * H)
+    if nblk * H < N:
+        y2, s2, state = gardner_scan(x[:, nblk * H:], cfg, state)
+        y = jnp.concatenate([y, y2], axis=1)
+        s = jnp.concatenate([s, s2], axis=1)
+    return y, s, state
+
+
+def gardner(x: jnp.ndarray, cfg: Config,
+            state: Optional[GardnerState] = None, act: bool = True):
+    """Timing recovery dispatch on cfg.stm_type: ULTRA = blocked, else the
+    exact per-sample scan (factory dispatch analogue,
+    Factory/Module/Synchronizer_timing/Synchronizer_timing.cpp:71-115).
+
+    ``act`` mirrors the reference's Synchronizer_timing act flag: the
+    blocked path only engages once the harness declares lock (set_act(true)
+    at transmission start, TX_RX/main.cpp:631); learning phases run exact.
+    """
+    if act and cfg.stm_type == "ULTRA":
+        return gardner_scan_blocked(x, cfg, state)
+    return gardner_scan(x, cfg, state)
+
+
+# ---------------------------------------------------------------------------
 # frame synchronization (Synchronizer_frame_DVBS2_fast/aib)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,74 @@
+"""Blocked (ULTRA) Gardner vs the exact per-sample scan (reference:
+Synchronizer_Gardner_ultra_osf2.cpp:60-105 vs Synchronizer_Gardner_fast.cpp).
+
+In steady lock the blocked variant must produce the same strobe pattern and
+near-identical interpolated symbols; its only approximation is the
+frozen-mu Farrow interpolation inside each hold block."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvbs2_tpu.config import Config
+from dvbs2_tpu.chains.tx import tx_stream
+from dvbs2_tpu.ops import filters, sync
+
+
+def _locked_stream(cfg, B, n_frames, frac=0.5, seed=0):
+    """Shaped TX stream -> fractional delay -> matched filter, plus an
+    exact-scan warmup to put the Gardner into steady lock."""
+    key = jax.random.key(seed)
+    bits = jax.random.bernoulli(key, 0.5,
+                                (B, n_frames, cfg.K_bch)).astype(jnp.int8)
+    x, _ = tx_stream(bits, cfg)
+    x, _ = filters.fractional_delay(x, frac)
+    taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
+    y, _ = filters.fir(x, taps)
+    warm = cfg.pl_frame_size * cfg.shp_osf      # one frame of pull-in
+    _, _, st = sync.gardner_scan(y[:, :warm], cfg)
+    return y[:, warm:], st
+
+
+def test_blocked_matches_exact_in_lock():
+    cfg = Config(modcod="QPSK-S_8/9")
+    stream, st0 = _locked_stream(cfg, B=2, n_frames=3)
+    N = (stream.shape[1] // 101) * 101
+    stream = stream[:, :N]
+
+    y_e, s_e, st_e = jax.jit(
+        lambda x, s: sync.gardner_scan(x, cfg, s))(stream, st0)
+    y_b, s_b, st_b = jax.jit(
+        lambda x, s: sync.gardner_scan_blocked(x, cfg, s))(stream, st0)
+
+    # identical strobe decisions in lock
+    agree = float(jnp.mean((s_e == s_b).astype(jnp.float32)))
+    assert agree == 1.0, f"strobe agreement {agree}"
+    # symbols match to frozen-mu interpolation error at the strobes
+    mask = (s_e > 0)[..., None]
+    err = float(jnp.max(jnp.abs(jnp.where(mask, y_e - y_b, 0.0))))
+    scale = float(jnp.max(jnp.abs(y_e)))
+    assert err < 0.02 * scale, f"strobed symbol error {err} vs scale {scale}"
+    # carried loop state stays in agreement
+    assert float(jnp.max(jnp.abs(st_e.mu - st_b.mu))) < 5e-3
+    assert float(jnp.max(jnp.abs(st_e.nco - st_b.nco))) < 5e-3
+    assert float(jnp.max(jnp.abs(st_e.lf_prev - st_b.lf_prev))) < 1e-4
+
+
+def test_blocked_hold_picker():
+    assert sync._pick_hold(16740, 101) in range(16, 513)
+    assert 16740 % sync._pick_hold(16740, 101) == 0
+    assert 89568 % sync._pick_hold(89568, 101) == 0
+
+
+def test_blocked_carry_continuity():
+    """Splitting a stream across two blocked calls equals one call."""
+    cfg = Config(modcod="QPSK-S_8/9")
+    stream, st0 = _locked_stream(cfg, B=1, n_frames=2, seed=1)
+    N = (stream.shape[1] // (2 * 101)) * (2 * 101)
+    stream = stream[:, :N]
+    y1, s1, st1 = sync.gardner_scan_blocked(stream, cfg, st0)
+    ya, sa, sta = sync.gardner_scan_blocked(stream[:, :N // 2], cfg, st0)
+    yb, sb, stb = sync.gardner_scan_blocked(stream[:, N // 2:], cfg, sta)
+    assert np.array_equal(np.asarray(s1),
+                          np.asarray(jnp.concatenate([sa, sb], axis=1)))
+    full = jnp.concatenate([ya, yb], axis=1)
+    assert float(jnp.max(jnp.abs(y1 - full))) < 1e-5

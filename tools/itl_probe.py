@@ -17,6 +17,7 @@ import json
 import math
 import os
 import sys
+import zlib
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -96,7 +97,8 @@ def main():
             cfg = Config(modcod=modcod, ldpc_implem="SPA", ldpc_nite=50,
                          est_type=est)
             fe, fr, _ = measure_fer(cfg, ebn0, target_fe=args.target_fe,
-                                    seed_base=hash(variant) % 1000)
+                                    seed_base=zlib.crc32(
+                                        variant.encode()) % 1000)
             fer = fe / max(fr, 1)
             s = math.sqrt(1 / max(fe, 1) + 1 / fe_ref)
             z = math.log(max(fer, 1e-12) / fer_ref) / s

@@ -79,6 +79,12 @@ def measure(cand: str, points, rate, target_fe, out, results):
               f"ratio={fer/fer_ref:.3f} z={z:+.2f}", flush=True)
         with open(out, "w") as f:
             json.dump({"results": results}, f, indent=1)
+        if fer >= 0.5 and fer / fer_ref > 5.0:
+            # candidate is saturated at a point where the ref is deep in
+            # the waterfall: every further point is uninformative — prune
+            print(f"    {cand}: saturated (FER={fer:.2f}); pruning",
+                  flush=True)
+            break
     return rows
 
 
