@@ -43,6 +43,64 @@ def acq_init(cfg: Config, batch: int) -> AcqState:
     )
 
 
+def transplant_rx(rx, acq: AcqState):
+    """Hand the acquisition front-end over to the tracking chain (the
+    reference's partial rebinding back to the normal path,
+    TX_RX/main.cpp:556-581): coarse PLL frozen at the learned frequency;
+    Gardner / matched-filter / extract / frame-sync state continue."""
+    return rx._replace(
+        coarse=acq.smf.coarse,
+        mf=acq.smf.mf[:, 1:],        # FIR history = last T-1 inputs
+        gardner=acq.smf.gardner,
+        extract=acq.extract,
+        fsync=acq.fsync,
+    )
+
+
+def acquire_stream(next_block, cfg: Config, batch: int = 1,
+                   max_waiting: int = 600, learn12: int = 150,
+                   learn3: int = 200, verbose: bool = False):
+    """WAITING / LEARNING 1-3 driven by a radio/file sample stream — the
+    RX-side mains' acquisition state machine (reference:
+    src/mains/RX/main_sched.cpp:407-635, which runs the step-MF + feedbacker
+    graph against radio.receive before entering transmission).
+
+    ``next_block(n_samples)`` must return the next (B, n, 2) float block of
+    the continuous stream.  Returns an ``RxState`` ready for ``rx_frames``
+    tracking (coarse PLL frozen at the learned frequency).
+    """
+    import jax
+
+    from dvbs2_tpu.chains.rx import rx_frames, rx_init
+
+    acq = acq_init(cfg, batch)
+    n = cfg.rad_frame_size
+    step_fast = jax.jit(lambda x, st: acq_frame(x, cfg, st, 1e-4))
+    step_slow = jax.jit(lambda x, st: acq_frame(x, cfg, st, 5e-5))
+    flag = None
+    for i in range(max_waiting):
+        acq, flag, _uf, metric = step_fast(next_block(n), acq)
+        if bool(jnp.all(flag)):
+            break
+    if verbose:
+        print(f"# waiting done after {i + 1} frames "
+              f"(metric min {float(jnp.min(metric)):.1f})")
+    for _ in range(learn12):
+        acq, _f, _u, _m = step_fast(next_block(n), acq)
+    for _ in range(learn12):
+        acq, _f, _u, _m = step_slow(next_block(n), acq)
+    if verbose:
+        nu = -acq.smf.coarse.est_freq
+        print(f"# learning 1&2 done (mixer nu "
+              f"{[f'{float(v):.6f}' for v in nu]})")
+    rx = transplant_rx(rx_init(cfg, batch), acq)
+    step3 = jax.jit(lambda x, st: rx_frames(x, 1.0, cfg, st, 1,
+                                            decode=False, act=False)[1:])
+    for _ in range(learn3):
+        _info, rx = step3(next_block(n), rx)
+    return rx
+
+
 def acq_frame(x: jnp.ndarray, cfg: Config, st: AcqState,
               norm_bandwidth: float):
     """One acquisition iteration on one frame of channel samples

@@ -201,17 +201,9 @@ def jit_sync_step(cfg: Config, batch: int, frames_per_step: int):
 
 
 def transplant(rx: RxState, acq: acquisition.AcqState) -> RxState:
-    """Hand the acquisition front-end state over to the tracking chain —
-    the reference's partial rebinding back to the normal path
-    (TX_RX/main.cpp:556-581): coarse PLL frozen at the learned frequency,
-    Gardner/matched-filter/extract/frame-sync state continue seamlessly."""
-    return rx._replace(
-        coarse=acq.smf.coarse,
-        mf=acq.smf.mf[:, 1:],        # FIR history = last T-1 inputs
-        gardner=acq.smf.gardner,
-        extract=acq.extract,
-        fsync=acq.fsync,
-    )
+    """Hand the acquisition front-end state over to the tracking chain
+    (shared with the RX-side mains — chains/acquisition.transplant_rx)."""
+    return acquisition.transplant_rx(rx, acq)
 
 
 def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,

@@ -16,13 +16,24 @@ from dvbs2_tpu.io.radio import FileRadio
 def main(argv=None):
     p = cli.build_parser("dvbs2_tpu.rx")
     p.add_argument("--rx-frames", type=int, default=48)
+    p.add_argument("--acq-learn", type=int, default=150,
+                   help="LEARNING 1/2 frame count (reference: 150 each)")
+    p.add_argument("--acq-learn3", type=int, default=200)
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
     radio = FileRadio(args.rad_rx_file_path, "r",
                       loop=not args.rad_rx_no_loop)
     F = 8
-    state = rx_init(cfg, 1)
     sigma = cfg.ebn0_to_sigma(args.sim_noise_min)
+    if cfg.perfect_sync or args.no_wl_phases:
+        state = rx_init(cfg, 1)
+    else:
+        # WAITING / LEARNING 1-3 against the radio input before decoding,
+        # like the reference receiver (RX/main_sched.cpp:407-635)
+        from dvbs2_tpu.chains.acquisition import acquire_stream
+        state = acquire_stream(
+            lambda n: jnp.asarray(radio.receive(n))[None], cfg,
+            learn12=args.acq_learn, learn3=args.acq_learn3, verbose=True)
     out = []
     done = 0
     while done < args.rx_frames:

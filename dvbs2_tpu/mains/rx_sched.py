@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--sched-p", "-P", type=int, default=8)
     p.add_argument("--sched-t", "-T", default="OTAC",
                    choices=["OTAC", "GR", "FILE"])
+    p.add_argument("--acq-learn", type=int, default=150)
+    p.add_argument("--acq-learn3", type=int, default=200)
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
 
@@ -42,8 +44,14 @@ def main(argv=None):
     radio = FileRadio(args.rad_rx_file_path, "r",
                       loop=not args.rad_rx_no_loop)
     F = 8
-    state = rx_init(cfg, 1)
     sigma = cfg.ebn0_to_sigma(args.sim_noise_min)
+    if cfg.perfect_sync or args.no_wl_phases:
+        state = rx_init(cfg, 1)
+    else:
+        from dvbs2_tpu.chains.acquisition import acquire_stream
+        state = acquire_stream(
+            lambda m: jnp.asarray(radio.receive(m))[None], cfg,
+            learn12=args.acq_learn, learn3=args.acq_learn3)
     out = []
     done = 0
     t0 = time.perf_counter()

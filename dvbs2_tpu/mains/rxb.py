@@ -24,6 +24,8 @@ def main(argv=None):
     p = cli.build_parser("dvbs2_tpu.rxb")
     p.add_argument("--rxb-seconds", type=float, default=10.0)
     p.add_argument("--rxb-frames-per-step", type=int, default=8)
+    p.add_argument("--acq-learn", type=int, default=150)
+    p.add_argument("--acq-learn3", type=int, default=200)
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
     assert args.rad_rx_file_path, "--rad-rx-file-path required"
@@ -32,14 +34,21 @@ def main(argv=None):
     try:
         from dvbs2_tpu.io.native import NativeStream
         stream = NativeStream(args.rad_rx_file_path, loop=True)
-        recv = lambda: stream.read(n)
+        recv_n = stream.read
         native = True
     except Exception:
         radio = FileRadio(args.rad_rx_file_path, "r", loop=True)
-        recv = lambda: radio.receive(n)
+        recv_n = radio.receive
         native = False
+    recv = lambda: recv_n(n)
     sigma = cfg.ebn0_to_sigma(args.sim_noise_min)
-    state = rx_init(cfg, 1)
+    if cfg.perfect_sync or args.no_wl_phases:
+        state = rx_init(cfg, 1)
+    else:
+        from dvbs2_tpu.chains.acquisition import acquire_stream
+        state = acquire_stream(
+            lambda m: jnp.asarray(recv_n(m))[None], cfg,
+            learn12=args.acq_learn, learn3=args.acq_learn3)
 
     # warm-up / compile
     bits, _info, state = rx_frames(jnp.asarray(recv())[None], sigma, cfg,

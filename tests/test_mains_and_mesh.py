@@ -33,8 +33,12 @@ def test_tx_ch_rx_file_flow(tmp_path):
     ch_main.main(base + ["--rad-rx-file-path", txf, "--rad-tx-file-path",
                          chf, "-m", "18.0", "--rad-rx-no-loop"])
     assert os.path.getsize(chf) > 0
+    # --no-wl-phases: cold-start tracking (CFO=0 at 18 dB locks without
+    # acquisition); the acquisition path is exercised by
+    # test_rx_main_acquisition_cfo below
     rx_main.main(base + ["--rad-rx-file-path", chf, "--rx-frames",
-                         str(n_tx), "--snk-path", snk, "-m", "18.0"])
+                         str(n_tx), "--snk-path", snk, "-m", "18.0",
+                         "--no-wl-phases"])
     dec = np.unpackbits(np.fromfile(snk, np.uint8))[:n_tx * K]
     dec = dec.reshape(-1, K).astype(np.int8)
     # after sync lock, decoded frames must reproduce the cycled payload
@@ -43,6 +47,43 @@ def test_tx_ch_rx_file_flow(tmp_path):
                   if any(np.array_equal(f, p) for p in payload))
     assert matches >= (len(dec) - 8) * 3 // 4, (
         f"only {matches}/{len(dec) - 8} post-lock frames matched the payload")
+
+
+@pytest.mark.slow
+def test_rx_main_acquisition_cfo(tmp_path):
+    """tx -> ch (CFO=0.05, delay 4.5, Eb/N0=4.2) -> rx with the WAITING /
+    LEARNING phases driven from the file stream (reference:
+    RX/main_sched.cpp:407-635): the receiver must lock and decode the cycled
+    payload (VERDICT r2 item 4)."""
+    from dvbs2_tpu.io.radio import write_src_file
+    from dvbs2_tpu.mains import tx as tx_main
+    from dvbs2_tpu.mains import ch as ch_main
+    from dvbs2_tpu.mains import rx as rx_main
+    txf = str(tmp_path / "tx.bin")
+    chf = str(tmp_path / "ch.bin")
+    snk = str(tmp_path / "sink.out")
+    srcf = str(tmp_path / "payload.src")
+    K = 14232
+    rng = np.random.RandomState(7)
+    payload = rng.randint(0, 2, (4, K)).astype(np.int8)
+    write_src_file(srcf, payload)
+    base = ["--mod-cod", "QPSK-S_8/9", "--dec-implem", "SPA", "--dec-ite",
+            "20", "--chn-max-delay", "4.5", "--chn-max-freq-shift", "0.05",
+            "--chn-type", "SYNCHRO"]
+    n_tx = 24
+    tx_main.main(base + ["--rad-tx-file-path", txf, "--tx-frames", str(n_tx),
+                         "--src-type", "USER", "--src-path", srcf])
+    ch_main.main(base + ["--rad-rx-file-path", txf, "--rad-tx-file-path",
+                         chf, "-m", "4.2", "--rad-rx-no-loop"])
+    rx_main.main(base + ["--rad-rx-file-path", chf, "--rx-frames", "16",
+                         "--snk-path", snk, "-m", "4.2",
+                         "--acq-learn", "40", "--acq-learn3", "40"])
+    dec = np.unpackbits(np.fromfile(snk, np.uint8))[:16 * K]
+    dec = dec.reshape(-1, K).astype(np.int8)
+    matches = sum(1 for f in dec[2:]
+                  if any(np.array_equal(f, p) for p in payload))
+    assert matches >= (len(dec) - 2) * 3 // 4, (
+        f"only {matches}/{len(dec) - 2} frames matched after acquisition")
 
 
 def test_sharded_step_8_devices():
