@@ -72,13 +72,13 @@ def bench_bb(salt: int) -> float:
     return batch * cfg.K_bch / dt / 1e6
 
 
-def bench_full(salt: int) -> float:
+def bench_full(salt: int, implem: str = "NMS", n_ite: int = 10) -> float:
     from dvbs2_tpu.config import Config
     from dvbs2_tpu.chains import txrx
 
     B = int(os.environ.get("BENCH_FULL_STREAMS", "192"))
     F = int(os.environ.get("BENCH_FULL_FRAMES", "4"))
-    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10,
+    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem=implem, ldpc_nite=n_ite,
                  chn_max_freq_shift=0.05, chn_max_delay=4.5)
     sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
     state0 = txrx.txrx_init(cfg, B)
@@ -109,18 +109,36 @@ def main() -> None:
     salt = time.time_ns() % (2**31)
     full_mbps = bench_full(salt)
     bb_mbps = bench_bb(salt)
-    with open(os.path.join(os.path.dirname(__file__),
-                           "BENCH_EXTRA.json"), "w") as f:
-        json.dump({
-            "full_chain_info_throughput_qpsk89_nms10_mbps": round(full_mbps, 3),
-            "full_chain_vs_ref_spa50": round(full_mbps / FULL_BASELINE_MBPS, 1),
-            "bb_chain_info_throughput_qpsk89_nms10_mbps": round(bb_mbps, 3),
-            "bb_vs_ref_spa50": round(bb_mbps / BB_BASELINE_MBPS, 3),
-            "note": ("full chain = TX shaping + channel (CFO 0.05, delay "
-                     "4.5) + RX sync + NMS-10 decode, steady-state after "
-                     "acquisition, one chip; refs are the reference's "
-                     "multi-threaded x86 SIM_THR (SPA-50)"),
-        }, f, indent=1)
+    extra = {
+        "full_chain_info_throughput_qpsk89_nms10_mbps": round(full_mbps, 3),
+        "full_chain_vs_ref_spa50": round(full_mbps / FULL_BASELINE_MBPS, 1),
+        "bb_chain_info_throughput_qpsk89_nms10_mbps": round(bb_mbps, 3),
+        "bb_vs_ref_spa50": round(bb_mbps / BB_BASELINE_MBPS, 3),
+        "note": ("full chain = TX shaping + channel (CFO 0.05, delay "
+                 "4.5) + RX sync + NMS-10 decode, steady-state after "
+                 "acquisition, one chip, ULTRA blocked Gardner; refs are "
+                 "the reference's multi-threaded x86 SIM_THR (SPA-50)"),
+    }
+    path = os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json")
+    if os.environ.get("BENCH_SPA50"):
+        # apples-to-apples column: same decoder config as the refs
+        spa_mbps = bench_full(salt + 7, implem="SPA", n_ite=50)
+        extra["full_chain_info_throughput_qpsk89_spa50_mbps"] = \
+            round(spa_mbps, 3)
+        extra["full_chain_spa50_vs_ref_spa50"] = \
+            round(spa_mbps / FULL_BASELINE_MBPS, 1)
+    elif os.path.exists(path):
+        # keep a previously measured SPA-50 column across re-runs
+        try:
+            old = json.load(open(path))
+            for k in ("full_chain_info_throughput_qpsk89_spa50_mbps",
+                      "full_chain_spa50_vs_ref_spa50"):
+                if k in old:
+                    extra[k] = old[k]
+        except Exception:
+            pass
+    with open(path, "w") as f:
+        json.dump(extra, f, indent=1)
     print(json.dumps({
         "metric": "full_chain_info_throughput_qpsk89_nms10",
         "value": round(full_mbps, 3),

@@ -47,3 +47,24 @@ def test_frame_lag_accounting():
     cfg = Config(chn_max_delay=4.5)
     assert txrx.total_sample_delay(cfg) == 80 + 4 + 3
     assert txrx.frame_lag(cfg) == 1
+
+
+def test_per_stream_sigma_and_counters():
+    """Per-stream sigma: one batch sweeps several SNR points at once (the
+    parity_full batching); per-stream counters must separate them."""
+    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="MS", ldpc_nite=5,
+                 chn_max_delay=4.5)
+    B, F = 2, 4
+    sigma = jnp.asarray([1e-3, 10.0])   # stream 0 clean, stream 1 hopeless
+    state = txrx.txrx_init(cfg, B)
+    step = txrx.jit_step(cfg, B, F)
+    key = jax.random.key(0)
+    r = None
+    for i in range(4):
+        r = step(jax.random.fold_in(key, i), sigma, state)
+        state = r.state
+    assert r.be_s.shape == (B,) and r.fe_s.shape == (B,)
+    assert int(r.fe_s[0]) == 0, "clean stream must decode"
+    assert int(r.fe_s[1]) == int(r.n_s[1]) and int(r.n_s[1]) > 0, \
+        "sigma=10 stream must fail every frame"
+    assert int(r.fe) == int(r.fe_s.sum())

@@ -7,6 +7,7 @@ from dvbs2_tpu.ops import ldpc
 from dvbs2_tpu.ops import ldpc_pallas
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rate", ["8/9"])
 def test_pallas_matches_jnp_decoder(rate):
     """Interpret-mode kernel == jnp compressed-MS decoder (same math)."""

@@ -98,6 +98,7 @@ def test_sharded_step_8_devices():
     assert int(r.n_frames) == 8
 
 
+@pytest.mark.slow
 def test_sharded_full_chain_8_devices():
     """Full-chain (dvbs2_tx_rx) step sharded over the virtual 8-device mesh:
     per-device sample-stream state, psum-reduced monitors."""
@@ -115,6 +116,7 @@ def test_sharded_full_chain_8_devices():
     assert int(counts[2]) >= 0
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

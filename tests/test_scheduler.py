@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from dvbs2_tpu.harness import scheduler
 
@@ -38,6 +39,7 @@ def test_solve_single_resource_is_serial():
     np.testing.assert_allclose(b, sum(times))
 
 
+@pytest.mark.slow
 def test_rx_sched_main_flow(tmp_path, capsys):
     from dvbs2_tpu.mains import tx as tx_main
     from dvbs2_tpu.mains import rx_sched as rxs_main

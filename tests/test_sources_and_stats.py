@@ -57,6 +57,7 @@ def test_unknown_source_rejected():
         build_source("BOGUS", 10)
 
 
+@pytest.mark.slow
 def test_stats_and_debug_run():
     cfg = Config(ldpc_implem="NMS", ldpc_nite=2)
     from dvbs2_tpu.harness import stats
