@@ -125,6 +125,32 @@ _CACHE: dict = {}
 
 _GEOM = {"3/5": (9720, 18, _degrees_3_5), "8/9": (14400, 5, _degrees_8_9)}
 
+# Alternative variable-degree profiles for the v4 sub-ensemble.  The
+# baseline profile ('a') came from the uniform-check-degree assumption; the
+# genuine Annex C profile is unknown offline, and the measured 8PSK gap
+# with every QPSK-parity candidate (see ldpc_place_*.json: placement moves
+# FER < ~20%) leaves the degree profile as the one code axis QPSK parity
+# does not pin — two codes equal on the uniform channel can split under the
+# column-interleaver's shaped bit reliabilities (tools/profile_scan.py).
+PROFILES = {
+    "3/5": {
+        "a": [12] * 9 + [3] * 18,            # baseline (== v3 profile)
+        "b": [12] * 12 + [3] * 15,
+        "c": [12] * 6 + [3] * 21,
+        "d": [13] * 9 + [3] * 18,
+        "e": [6] * 27,
+        "f": [12] * 9 + [4] * 9 + [3] * 9,
+        "g": [11] * 9 + [3] * 18,
+        "h": [12] * 5 + [4] * 22,
+    },
+    "8/9": {
+        "a": [4] * 5 + [3] * 35,             # baseline
+        "b": [4] * 10 + [3] * 30,
+        "c": [4] * 2 + [3] * 38,
+        "d": [5] * 5 + [3] * 35,
+    },
+}
+
 # Frozen winners of the SPA-50 selection sweeps, chosen JOINTLY across the
 # MODCODs sharing each rate (QPSK parity within MC noise is achieved; under
 # 8PSK the column interleaver weights codeword spans by constellation-bit
@@ -202,6 +228,7 @@ def get_table(rate: str) -> LdpcTable:
     K, q, degrees_fn = _GEOM[base]
     variant = variant or DEFAULT_VARIANT[base]
     variant, _, perm_spec = variant.partition("-p")
+    degrees_used = degrees_fn()
     if variant == "r1":
         seed = {"3/5": 0x35, "8/9": 0x89}[base]
         rows = _generate_ensemble_table(K, q, degrees_fn(), seed=seed)
@@ -218,6 +245,17 @@ def get_table(rate: str) -> LdpcTable:
         rows = construct_table(K, q, degrees_fn(), seed=int(m.group(1)),
                                w6=w6, cluster_frac=cf)
         source = f"ensemble-peg-{variant}"
+    elif variant.startswith("v4"):
+        # 'v4<profile><seed>': v3 iid generator with an alternative
+        # variable-degree profile from PROFILES (tools/profile_scan.py)
+        from dvbs2_tpu.data.ldpc_construct import construct_table_v3
+        m = re.fullmatch(r"v4([a-z])s(\d+)", variant)
+        if not m:
+            raise ValueError(f"bad LDPC table variant {variant!r}")
+        degrees_used = PROFILES[base][m.group(1)]
+        assert len(degrees_used) == K // GROUP
+        rows = construct_table_v3(K, q, degrees_used, seed=int(m.group(2)))
+        source = f"ensemble-iid-{variant}"
     elif variant.startswith("v3s"):
         # 'v3s<seed>[f<pct>]': standard-like iid residues (rows repeat
         # residues mod q, layer degrees vary); f<pct> = fraction of rows
@@ -233,7 +271,7 @@ def get_table(rate: str) -> LdpcTable:
     else:
         raise ValueError(f"unknown LDPC table variant {variant!r}")
     if perm_spec:
-        rows = _permute_rows(rows, degrees_fn(), perm_spec)
+        rows = _permute_rows(rows, degrees_used, perm_spec)
         source += f"-p{perm_spec}"
     t = LdpcTable(base, K=K, q=q, rows=rows, source=source)
     validate_table(t)

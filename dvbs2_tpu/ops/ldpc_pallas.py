@@ -301,15 +301,22 @@ def _make_kernel_spa(rate: str, n_ite: int, syndrome_exit: bool = True):
                 return prev_in - rold(d_r + 1)
 
             # pass 1 — phi magnitudes (kept in scratch) + total + sign
-            # parity + packed input signs
+            # parity + packed input signs.  T accumulates the bf16-ROUNDED
+            # phis: pass 2 computes phi(T - pe) with pe read back from the
+            # bf16 scratch, and if T summed unrounded f32 values the
+            # subtraction would leave the ROUNDING ERROR of the dominant
+            # edge (catastrophic cancellation when one weak input's phi
+            # dwarfs the rest — exactly the high-SNR operating points);
+            # with rounded accumulation T - pe == sum of the other edges'
+            # rounded phis, i.e. plain ~0.4% input noise instead.
             T = jnp.zeros((GROUP, F_BLK_SPA), jnp.float32)
             sp = jnp.zeros((GROUP, F_BLK_SPA), jnp.bool_)
             nneg = jnp.zeros((GROUP, F_BLK_SPA), jnp.int32)
             for e in range(dc):
                 v = lq(e)
-                p = phi(jnp.abs(v))
-                phi_ref[e * GROUP:(e + 1) * GROUP] = p.astype(jnp.bfloat16)
-                T = T + p
+                p = phi(jnp.abs(v)).astype(jnp.bfloat16)
+                phi_ref[e * GROUP:(e + 1) * GROUP] = p
+                T = T + p.astype(jnp.float32)
                 neg = v < 0
                 sp = jnp.logical_xor(sp, neg)
                 nneg = nneg | (neg.astype(jnp.int32) << e)
