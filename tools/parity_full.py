@@ -127,6 +127,8 @@ def main():
     p.add_argument("--streams", type=int, default=64)
     p.add_argument("--frames-per-step", type=int, default=8)
     p.add_argument("--max-steps", type=int, default=60_000)
+    p.add_argument("--split-sat", action="store_true",
+                   help="measure saturated points in their own small batch")
     p.add_argument("--dec-implem", default="SPA")
     p.add_argument("--dec-ite", type=int, default=50)
     p.add_argument("--out", default="parity_full.json")
@@ -141,12 +143,15 @@ def main():
                      ldpc_nite=args.dec_ite, chn_max_freq_shift=cfo,
                      chn_max_delay=delay)
         print(f"== {name} (CFO={cfo}, delay={delay})", flush=True)
-        # Saturated points (ref FER >= 0.3) never pass the decoder's
-        # syndrome exit, which is batch-global — mixing them into the deep
-        # batch would force full-iteration decoding on every step.  They
-        # are cheap (~110 frames each), so they get their own small batch.
-        sat = {e: v for e, v in ref.items() if v[0] >= 0.3}
-        deep = {e: v for e, v in ref.items() if v[0] < 0.3}
+        # Saturated points (ref FER ~1) never pass the decoder's
+        # syndrome exit (batch-global), so mixing them into the deep batch
+        # makes every step decode at full iterations (~3x slower steps) —
+        # but a separate batch costs a second set of per-config compiles
+        # through the tunnel, which measures worse.  --split-sat restores
+        # the two-batch mode.
+        thr = 0.3 if args.split_sat else 1.1
+        sat = {e: v for e, v in ref.items() if v[0] >= thr}
+        deep = {e: v for e, v in ref.items() if v[0] < thr}
         rows = []
         meta = {}
         for tag, sub, streams in (("sat", sat, max(8, 2 * len(sat))),
