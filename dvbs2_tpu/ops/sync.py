@@ -369,7 +369,16 @@ def gardner_step(st: GardnerState, xi: jnp.ndarray, kp: float, ki: float,
     state, y (B, 2) interpolated, is_strobe (B,) bool). Exact port of the
     reference's per-sample state machine (4-case dispatch on
     (is_strobe, popcount(history))) — expressed as masked updates so all B
-    streams advance in lockstep on the VPU."""
+    streams advance in lockstep on the VPU.  osf=2 dispatches to the
+    gather/scatter-free specialization (identical semantics, tested
+    equivalent in tests/test_gardner_blocked.py)."""
+    if osf == 2:
+        return gardner_step2(st, xi, kp, ki)
+    return _gardner_step_generic(st, xi, kp, ki, osf)
+
+
+def _gardner_step_generic(st: GardnerState, xi: jnp.ndarray, kp: float,
+                          ki: float, osf: int):
     B = xi.shape[0]
     inv_osf = 1.0 / osf
 
@@ -451,6 +460,65 @@ def gardner_scan(x: jnp.ndarray, cfg: Config,
 # ---------------------------------------------------------------------------
 # strobe-run blocked Gardner (Synchronizer_Gardner_ultra_osf2.cpp:60-105)
 # ---------------------------------------------------------------------------
+
+def gardner_step2(st: GardnerState, xi: jnp.ndarray, kp: float, ki: float):
+    """osf=2 specialization of ``gardner_step`` — identical semantics, but
+    the 2-slot TED ring becomes selects instead of per-stream gathers and
+    scatters (the generic ``.at[brow, idx]`` forms lower to serialized
+    scatter ops on TPU; in the blocked scan's 4-sample exact tail they
+    dominated the per-block cost)."""
+    osf = 2
+    W = st.lf_out + 0.5
+    is_strobe = (st.nco < W)
+    hist = ((st.history << 1) % 4) + is_strobe.astype(jnp.int32)
+    nset = (hist & 1) + ((hist >> 1) & 1)
+
+    mu = jnp.where(is_strobe, st.nco / W, st.mu)
+    b = filters.farrow_taps(mu)                       # (4, B)
+    ext = jnp.concatenate([st.farrow, xi[:, None]], axis=1)  # (B,4,2)
+    y = (b[0][:, None] * ext[:, 0] + b[1][:, None] * ext[:, 1]
+         + b[2][:, None] * ext[:, 2] + b[3][:, None] * ext[:, 3])
+
+    nco = jnp.where(is_strobe, st.nco + 1.0 - W, st.nco - W)
+
+    # ring slots by value: head/mid are always the two slots of a 2-ring
+    b0, b1 = st.ted_buf[:, 0], st.ted_buf[:, 1]
+    head0 = (st.head == 0)
+    head_v = jnp.where(head0[:, None], b0, b1)
+    mid_v = jnp.where(head0[:, None], b1, b0)
+    ted_err = mid_v[:, 0] * (head_v[:, 0] - y[:, 0]) + \
+        mid_v[:, 1] * (head_v[:, 1] - y[:, 1])
+    active = is_strobe & (nset == 1)
+    ted_err = jnp.where(active, ted_err, 0.0)
+
+    single = (nset == 1)
+    double = (nset > 1)
+    # single: buf[head] = y, shift 1; double: buf[head]=0, buf[head-1]=y,
+    # shift 2 (mod 2: head-1 == the other slot, shift 2 == no rotation)
+    headm1 = 1 - st.head
+    sel_h = single | double
+    new_b0 = jnp.where((head0 & single)[:, None], y,
+                       jnp.where((head0 & double)[:, None], 0.0,
+                                 jnp.where((~head0 & double)[:, None], y,
+                                           b0)))
+    new_b1 = jnp.where((~head0 & single)[:, None], y,
+                       jnp.where((~head0 & double)[:, None], 0.0,
+                                 jnp.where((head0 & double)[:, None], y,
+                                           b1)))
+    buf = jnp.stack([new_b0, new_b1], axis=1)
+    shift = jnp.where(single, 1, jnp.where(double, 2, 0))
+    head = (st.head - shift) % 2
+    mid = (st.mid - shift) % 2
+    del headm1, sel_h
+
+    lf_prev = st.lf_prev + ted_err * ki
+    lf_out = jnp.where(active, lf_prev + ted_err * kp, lf_prev)
+
+    new = GardnerState(farrow=ext[:, 1:], ted_buf=buf, head=head,
+                       mid=mid, history=hist, nco=nco, lf_prev=lf_prev,
+                       lf_out=lf_out, mu=mu)
+    return new, y, is_strobe
+
 
 def _pick_hold(n: int, target: int, lo: int = 16, hi: int = 512) -> int:
     """Largest divisor of ``n`` in [lo, hi] closest to ``target`` so the

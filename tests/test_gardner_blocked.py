@@ -53,6 +53,27 @@ def test_blocked_matches_exact_in_lock():
     assert float(jnp.max(jnp.abs(st_e.lf_prev - st_b.lf_prev))) < 1e-4
 
 
+def test_step2_matches_generic():
+    """The osf=2 gather-free gardner_step2 must be bit-equivalent to the
+    generic masked-update state machine on a random state trajectory."""
+    cfg = Config()
+    kp, ki = sync.gardner_gains(cfg)
+    B = 4
+    key = jax.random.key(9)
+    st_a = st_b = sync.gardner_init(B, 2)._replace(
+        nco=jax.random.uniform(key, (B,)),
+        mu=jax.random.uniform(jax.random.fold_in(key, 1), (B,)))
+    for i in range(400):
+        xi = jax.random.normal(jax.random.fold_in(key, 100 + i), (B, 2))
+        st_a, ya, sa = sync._gardner_step_generic(st_a, xi, kp, ki, 2)
+        st_b, yb, sb = sync.gardner_step2(st_b, xi, kp, ki)
+        assert bool(jnp.all(sa == sb)), i
+        assert float(jnp.max(jnp.abs(ya - yb))) < 1e-6, i
+    for fa, fb in zip(st_a, st_b):
+        assert float(jnp.max(jnp.abs(
+            fa.astype(jnp.float32) - fb.astype(jnp.float32)))) < 1e-5
+
+
 def test_blocked_hold_picker():
     assert sync._pick_hold(16740, 101) in range(16, 513)
     assert 16740 % sync._pick_hold(16740, 101) == 0
