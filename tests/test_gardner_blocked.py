@@ -60,15 +60,23 @@ def test_step2_matches_generic():
     kp, ki = sync.gardner_gains(cfg)
     B = 4
     key = jax.random.key(9)
-    st_a = st_b = sync.gardner_init(B, 2)._replace(
+    st0 = sync.gardner_init(B, 2)._replace(
         nco=jax.random.uniform(key, (B,)),
         mu=jax.random.uniform(jax.random.fold_in(key, 1), (B,)))
-    for i in range(400):
-        xi = jax.random.normal(jax.random.fold_in(key, 100 + i), (B, 2))
-        st_a, ya, sa = sync._gardner_step_generic(st_a, xi, kp, ki, 2)
-        st_b, yb, sb = sync.gardner_step2(st_b, xi, kp, ki)
-        assert bool(jnp.all(sa == sb)), i
-        assert float(jnp.max(jnp.abs(ya - yb))) < 1e-6, i
+    xs = jax.random.normal(jax.random.fold_in(key, 2), (400, B, 2))
+
+    @jax.jit
+    def run_both(st0, xs):
+        def step(c, xi):
+            sa, sb = c
+            sa, ya, ka = sync._gardner_step_generic(sa, xi, kp, ki, 2)
+            sb, yb, kb = sync.gardner_step2(sb, xi, kp, ki)
+            return (sa, sb), (ya, ka, yb, kb)
+        return jax.lax.scan(step, (st0, st0), xs)
+
+    (st_a, st_b), (ya, ka, yb, kb) = run_both(st0, xs)
+    assert bool(jnp.all(ka == kb))
+    assert float(jnp.max(jnp.abs(ya - yb))) < 1e-6
     for fa, fb in zip(st_a, st_b):
         assert float(jnp.max(jnp.abs(
             fa.astype(jnp.float32) - fb.astype(jnp.float32)))) < 1e-5
