@@ -160,11 +160,14 @@ class AcqStepResult(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def jit_acq_step(cfg: Config, batch: int, norm_bandwidth: float):
-    """One WAITING/LEARNING-1/2 iteration: TX one frame per stream, channel,
-    step-MF acquisition; bits flow through the in-flight buffer so the
-    eventual transmission phase stays aligned."""
-    def step(key, sigma, state: TxRxState, acq: acquisition.AcqState):
+def jit_acq_step(cfg: Config, batch: int, norm_bandwidth: float,
+                 frames: int = 1):
+    """One WAITING/LEARNING-1/2 dispatch: ``frames`` frames per stream
+    through TX -> channel -> step-MF acquisition (scanned on device so the
+    host pays one tunnel round-trip per ``frames`` frames, not per frame);
+    bits flow through the in-flight buffer so the eventual transmission
+    phase stays aligned.  flag/metric returned are the LAST frame's."""
+    def one(key, sigma, state: TxRxState, acq: acquisition.AcqState):
         bits, y, tx_state, ch_state = _tx_and_channel(
             key, sigma, cfg, state, batch, 1)
         acq2, flag, uf, metric = acquisition.acq_frame(
@@ -176,6 +179,19 @@ def jit_acq_step(cfg: Config, batch: int, norm_bandwidth: float):
             slips=state.slips + uf.astype(jnp.int32))
         return AcqStepResult(state=new_state, acq=acq2, flag=flag,
                              metric=metric)
+
+    def step(key, sigma, state: TxRxState, acq: acquisition.AcqState):
+        if frames == 1:
+            return one(key, sigma, state, acq)
+
+        def body(carry, i):
+            st, aq = carry
+            r = one(jax.random.fold_in(key, i), sigma, st, aq)
+            return (r.state, r.acq), (r.flag, r.metric)
+        (st, aq), (flags, metrics) = jax.lax.scan(
+            body, (state, acq), jnp.arange(frames))
+        return AcqStepResult(state=st, acq=aq, flag=flags[-1],
+                             metric=metrics[-1])
     return jax.jit(step)
 
 
@@ -218,8 +234,12 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     --stats-path files (reference: src/mains/TX_RX/main.cpp:92-180,433-453).
     """
     acq = acquisition.acq_init(cfg, batch)
-    step_fast = jit_acq_step(cfg, batch, 1e-4)
-    step_slow = jit_acq_step(cfg, batch, 5e-5)
+    # 8 frames per dispatch: one tunnel round-trip per 8 frames instead of
+    # per frame (the WAITING lock check then overshoots by < 8 frames,
+    # which only adds a few extra learning-grade frames before LEARNING 1)
+    FD = 8 if trace is None else 1
+    step_fast = jit_acq_step(cfg, batch, 1e-4, frames=FD)
+    step_slow = jit_acq_step(cfg, batch, 5e-5, frames=FD)
     k = 0
 
     def next_key():
@@ -235,22 +255,22 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
         trace.append((phase, i, met, nu, int(jnp.max(state.slips))))
 
     # WAITING: until every stream's frame-sync flag (PLL Bn=1e-4)
-    for i in range(max_waiting):
+    for i in range(-(-max_waiting // FD)):
         r = step_fast(next_key(), sigma, state, acq)
         state, acq = r.state, r.acq
         probe("WAITING", i, r)
         if bool(jnp.all(r.flag)):
             break
     if verbose:
-        print(f"# waiting done after {i + 1} frames "
+        print(f"# waiting done after {(i + 1) * FD} frames "
               f"(metric min {float(jnp.min(r.metric)):.1f})")
 
     # LEARNING 1 (Bn=1e-4) then LEARNING 2 (Bn=5e-5)
-    for i in range(learn12):
+    for i in range(-(-learn12 // FD)):
         r = step_fast(next_key(), sigma, state, acq)
         state, acq = r.state, r.acq
         probe("LEARNING_1", i, r)
-    for i in range(learn12):
+    for i in range(-(-learn12 // FD)):
         r = step_slow(next_key(), sigma, state, acq)
         state, acq = r.state, r.acq
         probe("LEARNING_2", i, r)
@@ -258,10 +278,11 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
         nu = -acq.smf.coarse.est_freq
         print(f"# learning 1&2 done (mixer nu {[f'{float(v):.6f}' for v in nu]})")
 
-    # LEARNING 3: tracking chain, no decode
+    # LEARNING 3: tracking chain, no decode (F frames per dispatch)
     state = state._replace(rx=transplant(state.rx, acq))
-    sync_step = jit_sync_step(cfg, batch, 1)
-    for i in range(learn3):
+    F3 = 4 if trace is None else 1
+    sync_step = jit_sync_step(cfg, batch, F3)
+    for i in range(-(-learn3 // F3)):
         state = sync_step(next_key(), sigma, state)
         probe("LEARNING_3", i)
     return state
