@@ -63,9 +63,14 @@ def init_state(cfg: Config, batch_streams: int = 1) -> ChannelState:
 
 
 def impair(x: jnp.ndarray, cfg: Config, state: ChannelState,
-           fading_gain: Optional[jnp.ndarray] = None):
+           fading_gain: Optional[jnp.ndarray] = None, dyn=None):
     """SYNCHRO impairments (no noise): fading -> frame delay -> int delay ->
-    Farrow fractional delay -> CFO mixer.  Returns (y, new_state)."""
+    Farrow fractional delay -> CFO mixer.  Returns (y, new_state).
+
+    ``dyn`` = optional traced (cfo, frac_mu) pair overriding the static
+    config values: configs sharing the integer delay part then share ONE
+    compiled program (the five refs/TX_RX parity configs differ only in
+    CFO 0/0.05 and frac delay 0.0/0.5 — tools/parity_full.py)."""
     frames, samples = _delay_parts(cfg)
     y = x
     if fading_gain is not None:
@@ -79,9 +84,12 @@ def impair(x: jnp.ndarray, cfg: Config, state: ChannelState,
     else:
         ring = state.frame_ring
     y, st_int = filters.integer_delay(y, samples, state.int_delay)
-    mu = cfg.chn_max_delay - int(cfg.chn_max_delay)
+    mu = (cfg.chn_max_delay - int(cfg.chn_max_delay)) if dyn is None \
+        else dyn[1]
     y, st_frac = filters.fractional_delay(y, mu, state.frac)
-    if cfg.chn_max_freq_shift != 0.0:
+    if dyn is not None:
+        y, nco = filters.cfo_mix(y, dyn[0], state.nco)
+    elif cfg.chn_max_freq_shift != 0.0:
         y, nco = filters.cfo_mix(y, cfg.chn_max_freq_shift, state.nco)
     else:
         nco = state.nco
@@ -105,10 +113,10 @@ def add_noise(key: jax.Array, x: jnp.ndarray, sigma, cfg: Config,
 def apply(key: jax.Array, x: jnp.ndarray, sigma, cfg: Config,
           state: Optional[ChannelState] = None,
           fading_gain: Optional[jnp.ndarray] = None,
-          user_noise: Optional[jnp.ndarray] = None):
+          user_noise: Optional[jnp.ndarray] = None, dyn=None):
     """Full TX_RX-chain channel: impairments (always bound, like the
     reference's TX_RX graph) then the --chn-type noise stage."""
     if state is None:
         state = init_state(cfg, x.shape[0])
-    y, state = impair(x, cfg, state, fading_gain=fading_gain)
+    y, state = impair(x, cfg, state, fading_gain=fading_gain, dyn=dyn)
     return add_noise(key, y, sigma, cfg, user_noise=user_noise), state

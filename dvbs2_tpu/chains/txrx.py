@@ -83,7 +83,7 @@ def txrx_init(cfg: Config, batch: int) -> TxRxState:
 
 
 def _tx_and_channel(key: jax.Array, sigma, cfg: Config, state: TxRxState,
-                    batch: int, F: int):
+                    batch: int, F: int, dyn=None):
     kb, kn = jax.random.split(key)
     bits = jax.random.bernoulli(kb, 0.5,
                                 (batch, F, cfg.K_bch)).astype(jnp.int8)
@@ -93,7 +93,7 @@ def _tx_and_channel(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     sg = jnp.asarray(sigma, jnp.float32)
     if sg.ndim == 1:
         sg = sg[:, None, None]
-    y, ch_state = channel_chain.apply(kn, x, sg, cfg, state.ch)
+    y, ch_state = channel_chain.apply(kn, x, sg, cfg, state.ch, dyn=dyn)
     return bits, y, tx_state, ch_state
 
 
@@ -109,13 +109,15 @@ class FullStepResult(NamedTuple):
 
 def txrx_step(key: jax.Array, sigma, cfg: Config, state: TxRxState,
               batch: int, frames_per_step: int,
-              warmup_frames: int = 8) -> FullStepResult:
+              warmup_frames: int = 8, dyn=None) -> FullStepResult:
     """Run ``frames_per_step`` frames through the full chain for ``batch``
-    independent streams; count errors on frames past the warmup."""
+    independent streams; count errors on frames past the warmup.
+    ``dyn`` = optional traced (cfo, chn_frac_mu) channel impairments
+    (chains/channel_chain.impair)."""
     B, F = batch, frames_per_step
     depth = bits_depth(cfg)
     bits, y, tx_state, ch_state = _tx_and_channel(
-        key, sigma, cfg, state, B, F)
+        key, sigma, cfg, state, B, F, dyn=dyn)
     dec, info, rx_state = rx_frames(y, sigma, cfg, state.rx, F)
 
     # reference bits for RX frame g of stream b: TX frame g - slips_b
@@ -142,9 +144,15 @@ def txrx_step(key: jax.Array, sigma, cfg: Config, state: TxRxState,
 
 
 @functools.lru_cache(maxsize=None)
-def jit_step(cfg: Config, batch: int, frames_per_step: int):
-    def step(key, sigma, state):
-        return txrx_step(key, sigma, cfg, state, batch, frames_per_step)
+def jit_step(cfg: Config, batch: int, frames_per_step: int,
+             with_dyn: bool = False):
+    if with_dyn:
+        def step(key, sigma, state, dyn):
+            return txrx_step(key, sigma, cfg, state, batch,
+                             frames_per_step, dyn=dyn)
+    else:
+        def step(key, sigma, state):
+            return txrx_step(key, sigma, cfg, state, batch, frames_per_step)
     return jax.jit(step)
 
 
@@ -167,9 +175,10 @@ def jit_acq_step(cfg: Config, batch: int, norm_bandwidth: float,
     host pays one tunnel round-trip per ``frames`` frames, not per frame);
     bits flow through the in-flight buffer so the eventual transmission
     phase stays aligned.  flag/metric returned are the LAST frame's."""
-    def one(key, sigma, state: TxRxState, acq: acquisition.AcqState):
+    def one(key, sigma, state: TxRxState, acq: acquisition.AcqState,
+            dyn=None):
         bits, y, tx_state, ch_state = _tx_and_channel(
-            key, sigma, cfg, state, batch, 1)
+            key, sigma, cfg, state, batch, 1, dyn=dyn)
         acq2, flag, uf, metric = acquisition.acq_frame(
             y, cfg, acq, norm_bandwidth)
         new_state = TxRxState(
@@ -180,13 +189,14 @@ def jit_acq_step(cfg: Config, batch: int, norm_bandwidth: float,
         return AcqStepResult(state=new_state, acq=acq2, flag=flag,
                              metric=metric)
 
-    def step(key, sigma, state: TxRxState, acq: acquisition.AcqState):
+    def step(key, sigma, state: TxRxState, acq: acquisition.AcqState,
+             dyn=None):
         if frames == 1:
-            return one(key, sigma, state, acq)
+            return one(key, sigma, state, acq, dyn=dyn)
 
         def body(carry, i):
             st, aq = carry
-            r = one(jax.random.fold_in(key, i), sigma, st, aq)
+            r = one(jax.random.fold_in(key, i), sigma, st, aq, dyn=dyn)
             return (r.state, r.acq), (r.flag, r.metric)
         (st, aq), (flags, metrics) = jax.lax.scan(
             body, (state, acq), jnp.arange(frames))
@@ -200,10 +210,10 @@ def jit_sync_step(cfg: Config, batch: int, frames_per_step: int):
     """One LEARNING-3 iteration: full tracking chain without FEC decode
     (reference sequence_learning_3 stops at sync_fine_pf,
     TX_RX/main.cpp:556-613)."""
-    def step(key, sigma, state: TxRxState):
+    def step(key, sigma, state: TxRxState, dyn=None):
         F = frames_per_step
         bits, y, tx_state, ch_state = _tx_and_channel(
-            key, sigma, cfg, state, batch, F)
+            key, sigma, cfg, state, batch, F, dyn=dyn)
         _none, info, rx_state = rx_frames(y, sigma, cfg, state.rx, F,
                                           decode=False, act=False)
         new_state = TxRxState(
@@ -224,7 +234,8 @@ def transplant(rx: RxState, acq: acquisition.AcqState) -> RxState:
 
 def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
             batch: int, max_waiting: int = 300, learn12: int = 150,
-            learn3: int = 200, verbose: bool = False, trace: list = None):
+            learn3: int = 200, verbose: bool = False, trace: list = None,
+            dyn=None):
     """Run WAITING + LEARNING 1&2 + LEARNING 3; returns the TxRxState ready
     for the transmission phase (monitor counters should start fresh).
 
@@ -256,7 +267,7 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
 
     # WAITING: until every stream's frame-sync flag (PLL Bn=1e-4)
     for i in range(-(-max_waiting // FD)):
-        r = step_fast(next_key(), sigma, state, acq)
+        r = step_fast(next_key(), sigma, state, acq, dyn)
         state, acq = r.state, r.acq
         probe("WAITING", i, r)
         if bool(jnp.all(r.flag)):
@@ -267,11 +278,11 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
 
     # LEARNING 1 (Bn=1e-4) then LEARNING 2 (Bn=5e-5)
     for i in range(-(-learn12 // FD)):
-        r = step_fast(next_key(), sigma, state, acq)
+        r = step_fast(next_key(), sigma, state, acq, dyn)
         state, acq = r.state, r.acq
         probe("LEARNING_1", i, r)
     for i in range(-(-learn12 // FD)):
-        r = step_slow(next_key(), sigma, state, acq)
+        r = step_slow(next_key(), sigma, state, acq, dyn)
         state, acq = r.state, r.acq
         probe("LEARNING_2", i, r)
     if verbose:
@@ -283,6 +294,6 @@ def acquire(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     F3 = 4 if trace is None else 1
     sync_step = jit_sync_step(cfg, batch, F3)
     for i in range(-(-learn3 // F3)):
-        state = sync_step(next_key(), sigma, state)
+        state = sync_step(next_key(), sigma, state, dyn)
         probe("LEARNING_3", i)
     return state

@@ -183,14 +183,22 @@ def quantize_nu(nu: float) -> float:
     return float(np.floor(nu * 1e6) / 1e6)
 
 
-def cfo_mix(x: jnp.ndarray, nu: float, state: Optional[NcoState] = None,
+def cfo_mix(x: jnp.ndarray, nu, state: Optional[NcoState] = None,
             conj: bool = False):
     """Multiply a (B, N, 2) stream by e^{+j 2 pi nu n} (e^{-...} if conj),
-    with the persistent sample index carried in ``state``."""
+    with the persistent sample index carried in ``state``.  ``nu`` may be a
+    Python float (baked into the program) or a traced scalar (so one
+    compiled chain serves several CFO configs — tools/parity_full.py)."""
     from dvbs2_tpu.ops import cplx
     if state is None:
         state = NcoState(n=jnp.float32(0.0))
-    nu_q = quantize_nu(nu)
+    if isinstance(nu, (int, float)):
+        nu_q = quantize_nu(nu)
+    else:
+        # round (not floor) in f32: float32(0.05)*1e6 = 49999.996 would
+        # floor to 49999 while the reference's double-precision floor
+        # gives 50000; round matches it for every 1e-6-multiple nu
+        nu_q = jnp.round(jnp.asarray(nu, jnp.float32) * 1e6) / 1e6
     omega = 2.0 * np.pi * nu_q
     N = x.shape[1]
     n = jnp.mod(state.n + jnp.arange(N, dtype=jnp.float32), 1e6)

@@ -76,11 +76,29 @@ def allocate_streams(points, refs, total: int) -> list:
     return [int(v) for v in n]
 
 
-def measure_config(cfg: Config, ref: dict, target_fe: int, total_streams: int,
-                   F: int, max_steps: int, seed: int = 0,
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _accumulator(P: int):
+    @jax.jit
+    def acc(tot, be_s, fe_s, n_s, seg):
+        return (tot[0] + jax.ops.segment_sum(be_s, seg, P),
+                tot[1] + jax.ops.segment_sum(fe_s, seg, P),
+                tot[2] + jax.ops.segment_sum(n_s, seg, P))
+    return acc
+
+
+def measure_config(cfg: Config, dyn, ref: dict, target_fe: int,
+                   total_streams: int, F: int, max_steps: int, seed: int = 0,
                    fetch_every: int = 50):
     """Acquire once (all points batched), then run transmission steps until
-    every point has ``target_fe`` frame errors (or max_steps)."""
+    every point has ``target_fe`` frame errors (or max_steps).
+
+    ``cfg`` is the SHARED base config (CFO 0, integer-delay part only);
+    ``dyn`` = traced (cfo, frac_delay) — all five refs/TX_RX configs then
+    reuse the same compiled acquisition + step programs (they differ only
+    in these two scalars; the integer delay part is 4 for all)."""
     points = sorted(ref.keys())
     alloc = allocate_streams(points, ref, total_streams)
     B = sum(alloc)
@@ -91,25 +109,22 @@ def measure_config(cfg: Config, ref: dict, target_fe: int, total_streams: int,
     key = jax.random.key(seed)
     state = txrx.txrx_init(cfg, B)
     t0 = time.perf_counter()
-    state = txrx.acquire(jax.random.fold_in(key, 0xACE), sigma, cfg, state, B)
+    state = txrx.acquire(jax.random.fold_in(key, 0xACE), sigma, cfg, state,
+                         B, dyn=dyn)
     t_acq = time.perf_counter() - t0
 
+    step = txrx.jit_step(cfg, B, F, with_dyn=True)
+    acc = _accumulator(len(points))
     seg = jnp.asarray(owner)
-    P = len(points)
 
-    @jax.jit
-    def step_acc(key, state, tot):
-        r = txrx.txrx_step(key, sigma, cfg, state, B, F)
-        return r.state, (tot[0] + jax.ops.segment_sum(r.be_s, seg, P),
-                         tot[1] + jax.ops.segment_sum(r.fe_s, seg, P),
-                         tot[2] + jax.ops.segment_sum(r.n_s, seg, P))
-
-    tot = (jnp.zeros(P, jnp.int32),) * 3
-    need = np.array([target_fe] * P)
+    tot = (jnp.zeros(len(points), jnp.int32),) * 3
+    need = np.array([target_fe] * len(points))
     t0 = time.perf_counter()
     i = 0
     while i < max_steps:
-        state, tot = step_acc(jax.random.fold_in(key, 1 + i), state, tot)
+        r = step(jax.random.fold_in(key, 1 + i), sigma, state, dyn)
+        state = r.state
+        tot = acc(tot, r.be_s, r.fe_s, r.n_s, seg)
         i += 1
         if i % fetch_every == 0:
             fe = np.asarray(tot[1])
@@ -127,8 +142,9 @@ def main():
     p.add_argument("--streams", type=int, default=64)
     p.add_argument("--frames-per-step", type=int, default=8)
     p.add_argument("--max-steps", type=int, default=60_000)
-    p.add_argument("--split-sat", action="store_true",
-                   help="measure saturated points in their own small batch")
+    p.add_argument("--no-split-sat", dest="split_sat", action="store_false",
+                   help="keep saturated points in the deep batch (forces "
+                        "full decoder iterations every step)")
     p.add_argument("--dec-implem", default="SPA")
     p.add_argument("--dec-ite", type=int, default=50)
     p.add_argument("--out", default="parity_full.json")
@@ -137,18 +153,22 @@ def main():
            "streams": args.streams, "target_fe": args.target_fe,
            "configs": {}}
     worst = 0.0
+    # ONE base config for every parity config: CFO and the fractional
+    # delay ride in as traced scalars (same compiled programs throughout)
+    cfg = Config(modcod="QPSK-S_8/9", ldpc_implem=args.dec_implem,
+                 ldpc_nite=args.dec_ite, chn_max_freq_shift=0.0,
+                 chn_max_delay=4.0)
     for name in args.configs.split(","):
         cfo, delay, ref = REFS_FULL[name]
-        cfg = Config(modcod="QPSK-S_8/9", ldpc_implem=args.dec_implem,
-                     ldpc_nite=args.dec_ite, chn_max_freq_shift=cfo,
-                     chn_max_delay=delay)
+        assert int(delay) == 4
+        dyn = (jnp.float32(cfo), jnp.float32(delay - int(delay)))
         print(f"== {name} (CFO={cfo}, delay={delay})", flush=True)
         # Saturated points (ref FER ~1) never pass the decoder's
         # syndrome exit (batch-global), so mixing them into the deep batch
-        # makes every step decode at full iterations (~3x slower steps) —
-        # but a separate batch costs a second set of per-config compiles
-        # through the tunnel, which measures worse.  --split-sat restores
-        # the two-batch mode.
+        # makes every step decode at full iterations (~3x slower steps,
+        # measured in round 3's first run).  With compiles shared across
+        # configs (traced dyn), the separate small sat batch costs one
+        # extra compile set TOTAL, so splitting is the default.
         thr = 0.3 if args.split_sat else 1.1
         sat = {e: v for e, v in ref.items() if v[0] >= thr}
         deep = {e: v for e, v in ref.items() if v[0] < thr}
@@ -159,8 +179,8 @@ def main():
             if not sub:
                 continue
             points, alloc, be, fe, fra, dt, t_acq, steps = measure_config(
-                cfg, sub, args.target_fe, streams, args.frames_per_step,
-                args.max_steps,
+                cfg, dyn, sub, args.target_fe, streams,
+                args.frames_per_step, args.max_steps,
                 seed=zlib.crc32(f"{name}/{tag}".encode()) & 0x7FFF)
             thr = int(fra.sum()) * cfg.K_bch / dt / 1e6
             meta[tag] = {"acq_s": round(t_acq, 1), "steps": steps,
