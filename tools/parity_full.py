@@ -145,6 +145,12 @@ def main():
     p.add_argument("--no-split-sat", dest="split_sat", action="store_false",
                    help="keep saturated points in the deep batch (forces "
                         "full decoder iterations every step)")
+    p.add_argument("--stm-type", default="ULTRA", choices=["ULTRA", "FAST"],
+                   help="FAST (exact per-sample Gardner) is required for "
+                        "the delay-4.0 configs: their timing point sits at "
+                        "the mu wrap boundary, where ULTRA's forced "
+                        "alternation turns loop jitter into block-length "
+                        "misalignment bursts (~2e-2 FER floor, measured)")
     p.add_argument("--dec-implem", default="SPA")
     p.add_argument("--dec-ite", type=int, default=50)
     p.add_argument("--out", default="parity_full.json")
@@ -157,7 +163,8 @@ def main():
     # delay ride in as traced scalars (same compiled programs throughout)
     cfg = Config(modcod="QPSK-S_8/9", ldpc_implem=args.dec_implem,
                  ldpc_nite=args.dec_ite, chn_max_freq_shift=0.0,
-                 chn_max_delay=4.0)
+                 chn_max_delay=4.0, stm_type=args.stm_type)
+    out["stm_type"] = args.stm_type
     for name in args.configs.split(","):
         cfo, delay, ref = REFS_FULL[name]
         assert int(delay) == 4
