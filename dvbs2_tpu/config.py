@@ -84,6 +84,12 @@ class Config:
     # latency-bound on TPU (~18 us/iteration); acquisition (step-MF) always
     # runs the exact per-sample loop, mirroring the reference where the
     # ultra path only engages once act/lock is established.
+    # CAVEAT (measured, round 3): when the channel delay puts the timing
+    # point at the mu wrap boundary (integer sample delays -> mu ~ 0),
+    # ULTRA's forced strobe alternation turns loop jitter into block-length
+    # misalignment bursts (~2e-2 FER floor at high SNR) — use FAST for
+    # FER-accurate runs at such delays (parity_full_ultra.json vs
+    # parity_full.json records the difference).
     stm_type: str = "ULTRA"
     stm_hold_size: int = 101
     stm_damping: float = math.sqrt(0.5)
