@@ -11,6 +11,7 @@ refs/TX_RX_BB/QPSK_8_9.txt row 1).
 from __future__ import annotations
 
 import dataclasses
+import signal
 import time
 from typing import Callable, Optional
 
@@ -50,6 +51,33 @@ class SnrPoint:
         return self.n_frames * self.K_info / max(self.elapsed_s, 1e-12) / 1e6
 
 
+# Clean Ctrl-C: the reference installs spu::tools::Signal_handler so a
+# SIGINT finishes the current iteration and still prints the final report
+# (TX_RX_BB/main.cpp:31, terminal final_report).  Here the first SIGINT
+# raises a flag checked between dispatches (the in-flight batches drain and
+# the partial point/table is returned/printed); a second SIGINT falls back
+# to the default handler (hard exit).
+_interrupted = False
+
+
+def _on_sigint(signum, frame):
+    global _interrupted
+    _interrupted = True
+    signal.signal(signal.SIGINT, signal.SIG_DFL)
+    print("# SIGINT: finishing current point (Ctrl-C again to force quit)",
+          flush=True)
+
+
+def install_signal_handler():
+    """Install the reference-style graceful SIGINT handler (call from
+    mains; returns the previous handler)."""
+    return signal.signal(signal.SIGINT, _on_sigint)
+
+
+def interrupted() -> bool:
+    return _interrupted
+
+
 def run_snr_point(step_fn: Callable, cfg: Config, ebn0: float, batch: int,
                   max_fe: Optional[int] = None, max_frames: int = 10_000_000,
                   min_frames: int = 0, seed: int = 0, in_flight: int = 4,
@@ -77,8 +105,9 @@ def run_snr_point(step_fn: Callable, cfg: Config, ebn0: float, batch: int,
         fra += int(r.n_frames)
         est_sum += float(getattr(r, "esn0_est_sum", 0.0))
 
-    while (fe < max_fe and fra + len(pending) * batch < max_frames) \
-            or fra + len(pending) * batch < min_frames:
+    while not _interrupted and (
+            (fe < max_fe and fra + len(pending) * batch < max_frames)
+            or fra + len(pending) * batch < min_frames):
         pending.append(step_fn(jax.random.fold_in(key, i), sigma))
         i += 1
         if len(pending) >= in_flight:
@@ -123,5 +152,9 @@ def sweep(cfg: Config, batch: int = 32, seed: int = 0,
         points.append(p)
         if verbose:
             print(format_row(p))
+        if _interrupted:
+            if verbose:
+                print("# End of the simulation (SIGINT)")
+            break
         ebn0 = round(ebn0 + cfg.ebn0_step, 10)
     return points

@@ -21,6 +21,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
     cli.print_trace(cfg, "tx_rx")
+    montecarlo.install_signal_handler()   # clean Ctrl-C (Signal_handler analogue)
 
     B, F = args.streams, args.frames_per_step
     step = txrx.jit_step(cfg, B, F)

@@ -13,6 +13,7 @@ def main(argv=None):
     args = cli.build_parser("dvbs2_tpu.tx_rx_bb").parse_args(argv)
     cfg = cli.config_from_args(args)
     cli.print_trace(cfg, "tx_rx_bb")
+    montecarlo.install_signal_handler()   # clean Ctrl-C (Signal_handler analogue)
     if args.sim_dbg:
         from dvbs2_tpu.harness import stats
         stats.run_debug(cfg, batch=2, ebn0=args.sim_noise_min,
