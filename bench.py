@@ -76,10 +76,14 @@ def bench_full(salt: int, implem: str = "NMS", n_ite: int = 10) -> float:
     from dvbs2_tpu.config import Config
     from dvbs2_tpu.chains import txrx
 
-    B = int(os.environ.get("BENCH_FULL_STREAMS", "192"))
-    F = int(os.environ.get("BENCH_FULL_FRAMES", "4"))
+    # geometry tuned on the TPU (tools/probe_geom.py round 3): B=128/F=32/
+    # hold=404 more than doubles B=192/F=4/hold=101 (26.2 vs 10.6 Mb/s)
+    B = int(os.environ.get("BENCH_FULL_STREAMS", "128"))
+    F = int(os.environ.get("BENCH_FULL_FRAMES", "32"))
+    hold = int(os.environ.get("BENCH_FULL_HOLD", "404"))
     cfg = Config(modcod="QPSK-S_8/9", ldpc_implem=implem, ldpc_nite=n_ite,
-                 chn_max_freq_shift=0.05, chn_max_delay=4.5)
+                 chn_max_freq_shift=0.05, chn_max_delay=4.5,
+                 stm_hold_size=hold)
     sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
     state0 = txrx.txrx_init(cfg, B)
     # acquisition is a one-off per SNR point in the reference harness too —

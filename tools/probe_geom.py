@@ -17,7 +17,7 @@ from dvbs2_tpu.chains import txrx
 
 key = jax.random.key(time.time_ns() % (2 ** 31))
 
-for B, F, hold in ((64, 8, 101), (64, 8, 404), (128, 8, 404), (192, 4, 404)):
+for B, F, hold in ((128, 64, 404), (128, 32, 808)):
     cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10,
                  chn_max_freq_shift=0.05, chn_max_delay=4.5,
                  stm_hold_size=hold)
