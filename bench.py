@@ -131,14 +131,13 @@ def main() -> None:
             round(spa_mbps, 3)
         extra["full_chain_spa50_vs_ref_spa50"] = \
             round(spa_mbps / FULL_BASELINE_MBPS, 1)
-    elif os.path.exists(path):
-        # keep a previously measured SPA-50 column across re-runs
+    if os.path.exists(path):
+        # keep any previously measured/annotated keys this run didn't
+        # produce (SPA-50 column, provenance notes, ...) across re-runs
         try:
             old = json.load(open(path))
-            for k in ("full_chain_info_throughput_qpsk89_spa50_mbps",
-                      "full_chain_spa50_vs_ref_spa50"):
-                if k in old:
-                    extra[k] = old[k]
+            for k, v in old.items():
+                extra.setdefault(k, v)
         except Exception:
             pass
     with open(path, "w") as f:

@@ -41,11 +41,10 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
     g.add_argument("--stats-path", default=None,
                    help="write probe/stats dumps to this path prefix")
     g.add_argument("--section", default=None,
-                   help="accepted for command-line parity; the reference "
-                        "parses it for an external 'bridge binary' and no "
-                        "code in its tree consumes it either "
-                        "(DVBS2.cpp:91,141 — no other reader), so it is "
-                        "deliberately inert here too")
+                   help="free-text tag echoed into the output header "
+                        "(the reference stores it for an external 'bridge "
+                        "binary' and echoes it via get_headers; no code in "
+                        "its tree consumes it otherwise, DVBS2.cpp:91,141)")
     g.add_argument("--snk-path", default="sink.out")
     g.add_argument("--dump-filename", default="dump")
     g.add_argument("--max-frames", type=int, default=10_000_000)
@@ -132,13 +131,15 @@ def config_from_args(args) -> Config:
     )
 
 
-def print_trace(cfg: Config, prog: str) -> None:
+def print_trace(cfg: Config, prog: str, section: str = None) -> None:
     """Echo the configuration like the reference's tools::Header
     (reference: TX_RX_BB/main.cpp:36-40 and visible in refs/ files)."""
     from dvbs2_tpu.version import version_string
     print(f"# {version_string()}")
     print("[trace]")
     print("# * DVB-S2 ----------------------------------------")
+    if section:
+        print(f"#    ** Section               = {section}")
     print(f"#    ** Modulation and coding = {cfg.modcod}")
     print(f"#    ** Min  Eb/N0            = {cfg.ebn0_min:f}")
     print(f"#    ** Max  Eb/N0            = {cfg.ebn0_max:f}")

@@ -84,12 +84,12 @@ class Config:
     # latency-bound on TPU (~18 us/iteration); acquisition (step-MF) always
     # runs the exact per-sample loop, mirroring the reference where the
     # ultra path only engages once act/lock is established.
-    # CAVEAT (measured, round 3): when the channel delay puts the timing
-    # point at the mu wrap boundary (integer sample delays -> mu ~ 0),
-    # ULTRA's forced strobe alternation turns loop jitter into block-length
-    # misalignment bursts (~2e-2 FER floor at high SNR) — use FAST for
-    # FER-accurate runs at such delays (parity_full_ultra.json vs
-    # parity_full.json records the difference).
+    # ULTRA is FER-exact at every timing offset including the mu wrap
+    # boundary (integer-sample delays): the body interpolation mu is
+    # derived from the NCO each block (ops/sync.py gardner_block), which
+    # fixed round 3's measured ~2e-2 floor there (regression:
+    # tests/test_gardner_blocked.py::test_blocked_pending_wrap_at_block_
+    # entry; measured parity: parity_full.json delay-4.0 rows at ULTRA).
     stm_type: str = "ULTRA"
     stm_hold_size: int = 101
     stm_damping: float = math.sqrt(0.5)

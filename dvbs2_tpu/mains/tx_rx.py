@@ -20,7 +20,7 @@ def main(argv=None):
     p.add_argument("--frames-per-step", type=int, default=8)
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
-    cli.print_trace(cfg, "tx_rx")
+    cli.print_trace(cfg, "tx_rx", section=args.section)
     montecarlo.install_signal_handler()   # clean Ctrl-C (Signal_handler analogue)
 
     B, F = args.streams, args.frames_per_step

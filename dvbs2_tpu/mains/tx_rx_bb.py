@@ -12,7 +12,7 @@ from dvbs2_tpu.harness import montecarlo
 def main(argv=None):
     args = cli.build_parser("dvbs2_tpu.tx_rx_bb").parse_args(argv)
     cfg = cli.config_from_args(args)
-    cli.print_trace(cfg, "tx_rx_bb")
+    cli.print_trace(cfg, "tx_rx_bb", section=args.section)
     montecarlo.install_signal_handler()   # clean Ctrl-C (Signal_handler analogue)
     if args.sim_dbg:
         from dvbs2_tpu.harness import stats

@@ -197,7 +197,11 @@ def cfo_mix(x: jnp.ndarray, nu, state: Optional[NcoState] = None,
     else:
         # round (not floor) in f32: float32(0.05)*1e6 = 49999.996 would
         # floor to 49999 while the reference's double-precision floor
-        # gives 50000; round matches it for every 1e-6-multiple nu
+        # gives 50000; round matches it for every 1e-6-multiple nu.
+        # For nu that is NOT a 1e-6 multiple the two rules differ, so
+        # callers must host-quantize (quantize_nu) before tracing — the
+        # dyn paths do (chains/channel_chain.impair callers), pinned by
+        # tests/test_chain_full.test_dyn_quantization_consistency.
         nu_q = jnp.round(jnp.asarray(nu, jnp.float32) * 1e6) / 1e6
     omega = 2.0 * np.pi * nu_q
     N = x.shape[1]

@@ -540,17 +540,33 @@ def gardner_block(st: GardnerState, xblk: jnp.ndarray, kp: float, ki: float,
 
     This is the reference's own ULTRA amortization (Synchronizer_Gardner_
     ultra_osf2.cpp:60-105, hold_size blocks with a 4-sample exact tail),
-    with one refinement: the NCO accumulates the exact increment
-    sum(strobe - W_j) instead of the reference's sum(strobe - 1/2), so the
-    only approximation left is the frozen-mu interpolation.
+    with two refinements: (1) the NCO accumulates the exact increment
+    sum(strobe - W_j) instead of the reference's sum(strobe - 1/2); (2) the
+    body's interpolation mu is RE-DERIVED from the NCO at block entry
+    (mu0 = nco/W at the first forced strobe) instead of freezing the
+    carried mu.  (2) is load-bearing at the mu wrap boundary: mu only
+    refreshes at strobes, so when the NCO wraps right at a block boundary
+    the carried mu is stale by a FULL sample and a frozen-mu body would
+    emit an entire block of midpoint samples (the round-3 ~2e-2 FER floor
+    at integer-sample channel delays, diagnosed in tools/diag_ultra_wrap
+    .py --drill); nco/W is always bookkeeping-consistent, equals the
+    carried mu to within loop jitter in steady lock, and lets deferred
+    mid-body wraps surface smoothly as mu drifting past [0,1) until an
+    exact tail rolls them over.
     """
     B, H, _ = xblk.shape
     body = H - 4
     brow = jnp.arange(B)
 
-    # Farrow over the body with frozen per-stream mu
+    # Farrow over the body with per-stream mu derived from the NCO: the mu
+    # the exact machine would compute at the first body strobe (nco/W when
+    # sample 0 strobes; one -W NCO step earlier otherwise — the W drift
+    # between those two samples is O(ki*e), negligible)
+    s_first = 1 - (st.history & 1)
+    W0 = st.lf_out + 1.0 / osf
+    mu0 = jnp.where(s_first > 0, st.nco, st.nco - W0) / W0
     ext = jnp.concatenate([st.farrow, xblk[:, :body]], axis=1)  # (B,body+3,2)
-    b = filters.farrow_taps(st.mu)                              # (4, B)
+    b = filters.farrow_taps(mu0)                                # (4, B)
     y = (b[0][:, None, None] * ext[:, :body]
          + b[1][:, None, None] * ext[:, 1:body + 1]
          + b[2][:, None, None] * ext[:, 2:body + 2]
@@ -587,7 +603,7 @@ def gardner_block(st: GardnerState, xblk: jnp.ndarray, kp: float, ki: float,
     st2 = GardnerState(farrow=xblk[:, body - 3:body], ted_buf=buf, head=head,
                        mid=mid, history=hist, nco=nco,
                        lf_prev=lf_prev[:, -1], lf_out=lf_out[:, -1],
-                       mu=st.mu)
+                       mu=mu0)
 
     # exact 4-sample tail (statically unrolled)
     ys_t, ss_t = [], []

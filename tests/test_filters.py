@@ -157,3 +157,20 @@ def test_variable_delay_runtime_settable():
     d2 = jnp.asarray([0, 7], jnp.int32)
     y3, _ = filters.variable_delay(x1, d2, D, st)
     np.testing.assert_allclose(np.asarray(y3)[0], np.asarray(x1)[0])
+
+
+def test_cfo_mix_traced_matches_static_nonmultiple_nu():
+    """The traced cfo_mix path (f32 round) and the static path (double-
+    precision floor, the reference's Multiplier_sine set_nu rule) must
+    apply the SAME quantized nu — for nu that is not an exact 1e-6
+    multiple this requires host quantization before tracing, which is the
+    documented contract of the dyn paths (tools/parity_full.py)."""
+    import jax
+
+    for nu in (0.05, 0.0500007, 0.0499993, 0.1234567891):
+        nu_q = filters.quantize_nu(nu)
+        x = jnp.stack([jnp.ones((1, 64)), jnp.zeros((1, 64))], axis=-1)
+        y_static, _ = filters.cfo_mix(x, nu)
+        y_traced, _ = jax.jit(filters.cfo_mix)(x, jnp.float32(nu_q))
+        np.testing.assert_allclose(np.asarray(y_static),
+                                   np.asarray(y_traced), atol=1e-6)

@@ -101,3 +101,39 @@ def test_blocked_carry_continuity():
                           np.asarray(jnp.concatenate([sa, sb], axis=1)))
     full = jnp.concatenate([ya, yb], axis=1)
     assert float(jnp.max(jnp.abs(y1 - full))) < 1e-5
+
+
+def test_blocked_pending_wrap_at_block_entry():
+    """Regression for the round-3 ULTRA FER floor at integer-sample delays
+    (mu wrap boundary): when the NCO wraps right at a block boundary the
+    carried mu is stale by a FULL sample (mu refreshes only at strobes).
+    A frozen-mu body then emits an entire block of midpoint samples
+    (diagnosed via tools/diag_ultra_wrap.py); the fix derives the body mu
+    from the NCO (mu0 = nco/W).  Start both machines in the exact pending-
+    wrap state and require symbol agreement through the block."""
+    cfg = Config(modcod="QPSK-S_8/9")
+    stream, st0 = _locked_stream(cfg, B=2, n_frames=2, frac=0.0, seed=3)
+    N = 4 * 101
+    stream = stream[:, :N]
+    # the bug state: NCO already wrapped (just below 0 -> strobe with
+    # mu ~ 0 due), carried mu still ~1, last two samples non-strobes
+    st0 = st0._replace(
+        mu=jnp.full_like(st0.mu, 1.0),
+        nco=jnp.full_like(st0.nco, -1e-4),
+        history=jnp.zeros_like(st0.history))
+
+    y_e, s_e, _ = sync.gardner_scan(stream, cfg, st0)
+    y_b, s_b, _ = sync.gardner_scan_blocked(stream, cfg, st0)
+
+    # both must emit the same symbols at their strobes (allow a +-1
+    # count transient at block boundaries)
+    for b in range(2):
+        se = np.asarray(s_e[b]) > 0
+        sb = np.asarray(s_b[b]) > 0
+        ve = np.asarray(y_e[b])[se]
+        vb = np.asarray(y_b[b])[sb]
+        n = min(len(ve), len(vb))
+        assert abs(len(ve) - len(vb)) <= 1
+        err = np.max(np.abs(ve[:n] - vb[:n]))
+        scale = np.max(np.abs(ve))
+        assert err < 0.05 * scale, f"stream {b}: err {err} vs {scale}"

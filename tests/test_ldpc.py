@@ -77,3 +77,44 @@ def test_decode_is_jittable():
     f = jax.jit(lambda x: ldpc.decode(x, rate, n_ite=2))
     out = f(llr)
     assert out.shape == (2, 16200)
+
+
+def test_group_perm_matches_static_permuted_table():
+    """encode/decode with the traced group_perm fast path must match the
+    statically permuted '-p<spec>' table bit-for-bit — an argsort/inverse
+    mix-up here would silently invalidate the UEP placement-scan artifacts
+    (ldpc_place_*.json), so this pins the equivalence (round-3 advisory)."""
+    import numpy as np
+    from dvbs2_tpu.data import ldpc_tables
+
+    rate = "8/9"
+    base = f"{rate}@{ldpc_tables.DEFAULT_VARIANT[rate]}"
+    for spec in ("L", "E", "S3"):
+        tab = ldpc_tables.get_table(base)
+        sigma = jnp.asarray(
+            ldpc_tables.placement_order(len(tab.rows),
+                                        [len(r) for r in tab.rows], spec),
+            jnp.int32)
+        key = jax.random.key(hash(spec) % (2**31))
+        bits = jax.random.bernoulli(key, 0.5, (2, 14400)).astype(jnp.int8)
+        cw_dyn = ldpc.encode(bits, base, group_perm=sigma)
+        cw_static = ldpc.encode(bits, f"{base}-p{spec}")
+        assert np.array_equal(np.asarray(cw_dyn), np.asarray(cw_static)), spec
+
+        if spec != "L":
+            continue   # decode leg once (compiles per static table)
+        # decode equivalence on noisy LLRs (no syndrome exit so both run
+        # the same fixed iteration count)
+        x = 1.0 - 2.0 * cw_static.astype(jnp.float32)
+        noise = 0.6 * jax.random.normal(jax.random.fold_in(key, 1),
+                                        x.shape)
+        llr = 2.0 * (x + noise) / (0.6 ** 2)
+        post_dyn = ldpc.decode(llr, base, n_ite=4, implem="NMS",
+                               use_pallas="never", syndrome_exit=False,
+                               group_perm=sigma)
+        post_static = ldpc.decode(llr, f"{base}-p{spec}", n_ite=4,
+                                  implem="NMS", use_pallas="never",
+                                  syndrome_exit=False)
+        np.testing.assert_allclose(np.asarray(post_dyn),
+                                   np.asarray(post_static), atol=1e-4,
+                                   err_msg=spec)

@@ -146,11 +146,12 @@ def main():
                    help="keep saturated points in the deep batch (forces "
                         "full decoder iterations every step)")
     p.add_argument("--stm-type", default="ULTRA", choices=["ULTRA", "FAST"],
-                   help="FAST (exact per-sample Gardner) is required for "
-                        "the delay-4.0 configs: their timing point sits at "
-                        "the mu wrap boundary, where ULTRA's forced "
-                        "alternation turns loop jitter into block-length "
-                        "misalignment bursts (~2e-2 FER floor, measured)")
+                   help="ULTRA (blocked Gardner) is now exact at every "
+                        "timing offset including the delay-4.0 mu wrap "
+                        "boundary (round-4 fix: body mu derived from the "
+                        "NCO, ops/sync.py gardner_block; the round-3 "
+                        "~2e-2 floor is regression-tested away in "
+                        "tests/test_gardner_blocked.py)")
     p.add_argument("--dec-implem", default="SPA")
     p.add_argument("--dec-ite", type=int, default=50)
     p.add_argument("--out", default="parity_full.json")
@@ -158,6 +159,16 @@ def main():
     out = {"decoder": f"{args.dec_implem}-{args.dec_ite}",
            "streams": args.streams, "target_fe": args.target_fe,
            "configs": {}}
+    # merge with an existing artifact so configs can be (re)measured
+    # across runs without hand-editing (round-3 advisory: the committed
+    # file must be reproducible by the checked-in tool)
+    if os.path.exists(args.out):
+        try:
+            prev = json.load(open(args.out))
+            if prev.get("decoder") == out["decoder"]:
+                out["configs"].update(prev.get("configs", {}))
+        except Exception:
+            pass
     worst = 0.0
     # ONE base config for every parity config: CFO and the fractional
     # delay ride in as traced scalars (same compiled programs throughout)
@@ -168,7 +179,12 @@ def main():
     for name in args.configs.split(","):
         cfo, delay, ref = REFS_FULL[name]
         assert int(delay) == 4
-        dyn = (jnp.float32(cfo), jnp.float32(delay - int(delay)))
+        # host-quantize the CFO exactly like the static path (the traced
+        # cfo_mix rounds in f32, which only matches the reference's
+        # double-precision floor for 1e-6-multiple nu — ops/filters.py)
+        from dvbs2_tpu.ops.filters import quantize_nu
+        dyn = (jnp.float32(quantize_nu(cfo)),
+               jnp.float32(delay - int(delay)))
         print(f"== {name} (CFO={cfo}, delay={delay})", flush=True)
         # Saturated points (ref FER ~1) never pass the decoder's
         # syndrome exit (batch-global), so mixing them into the deep batch
@@ -209,15 +225,19 @@ def main():
             print(f"    [{name}/{tag}] {steps} steps, {dt:.0f}s "
                   f"({thr:.1f} Mb/s), acq {t_acq:.0f}s", flush=True)
         rows.sort(key=lambda r: r["ebn0"])
-        out["configs"][name] = {"rows": rows, **meta}
+        out["configs"][name] = {"rows": rows, "stm_type": args.stm_type,
+                                **meta}
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)   # incremental
+    # worst |z| over ALL configs in the (possibly merged) artifact
+    worst = max((abs(r["z_mc"]) for c in out["configs"].values()
+                 for r in c["rows"]), default=worst)
     out["worst_abs_z"] = worst
     out["note"] = ("z_mc = log-FER deviation in combined MC std units "
                    "(bar |z|<2.5); all SNR points of a config batched as "
                    "independent streams with per-stream sigma; acquisition "
                    "(WAITING+LEARNING 1-3) run once per config on the full "
-                   "batch; stm ULTRA blocked Gardner in transmission")
+                   "batch; per-config stm_type recorded in each entry")
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"worst |z| = {worst:.2f}; wrote {args.out}")
