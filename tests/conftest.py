@@ -8,8 +8,14 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # the fast tier is compile-dominated (each full-chain program costs
+    # ~14s of LLVM at -O2 on the 2-core CI host vs ~8s at -O0, while the
+    # tests execute only a handful of steps) — trade exec speed for
+    # compile speed in TESTS ONLY (measured: suite 6m -> ~3m)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -54,9 +54,9 @@ def test_dyn_impairments_match_static():
     statically-baked config bit-for-bit (modulo fp noise): one compiled
     program then serves every refs/TX_RX parity config sharing the integer
     delay part (tools/parity_full.py)."""
-    cfg_s = Config(modcod="QPSK-S_8/9", ldpc_implem="MS", ldpc_nite=4,
+    cfg_s = Config(modcod="QPSK-S_8/9", ldpc_implem="MS", ldpc_nite=5,
                    chn_max_freq_shift=0.05, chn_max_delay=4.5)
-    cfg_b = Config(modcod="QPSK-S_8/9", ldpc_implem="MS", ldpc_nite=4,
+    cfg_b = Config(modcod="QPSK-S_8/9", ldpc_implem="MS", ldpc_nite=5,
                    chn_max_freq_shift=0.0, chn_max_delay=4.0)
     B, F = 2, 4
     key = jax.random.key(0)

@@ -229,10 +229,22 @@ def main():
                                 **meta}
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)   # incremental
-    # worst |z| over ALL configs in the (possibly merged) artifact
+    # worst |z| over ALL configs in the (possibly merged) artifact, plus
+    # separately over the delay-4.0 PARITY configs (the delay-4.5 configs
+    # measure better-than-ref for diagnosed physical reasons —
+    # PARITY_FULL_STATUS.md — so their z << 0 is not a parity failure)
     worst = max((abs(r["z_mc"]) for c in out["configs"].values()
                  for r in c["rows"]), default=worst)
     out["worst_abs_z"] = worst
+    par_rows = [r for n, c in out["configs"].items() if n.endswith("_40")
+                for r in c["rows"]]
+    if par_rows:
+        out["worst_abs_z_parity_configs"] = max(abs(r["z_mc"])
+                                                for r in par_rows)
+        ns = [r for r in par_rows if r["ebn0"] == 4.0]
+        out["north_star"] = [{"fer": r["fer"], "fer_ref": r["fer_ref"],
+                              "fe": r["fe"], "fra": r["fra"],
+                              "z": r["z_mc"]} for r in ns]
     out["note"] = ("z_mc = log-FER deviation in combined MC std units "
                    "(bar |z|<2.5); all SNR points of a config batched as "
                    "independent streams with per-stream sigma; acquisition "
