@@ -67,32 +67,52 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
     assert N_samp == n_frames * L * cfg.shp_osf
     taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
 
-    # coarse frequency derotation (frozen per-stream nu; genie knows the CFO)
-    if cfg.perfect_sync:
-        y, _nco = sync.coarse_perfect(
-            x, cfg.chn_max_freq_shift,
-            filters.NcoState(n=state.coarse.n[0]))
-        coarse_state = state.coarse._replace(
-            n=jnp.broadcast_to(_nco.n, state.coarse.n.shape))
-    else:
-        y, coarse_state = sync.coarse_mix(x, state.coarse)
-
-    # AGC at sample level (the reference normalizes the extracted symbol
-    # blocks to unit energy, Multiplier_AGC_cc_naive; at the sample rate the
-    # equivalent target is 1/osf per sample)
-    y = filters.agc(y, output_energy=1.0 / cfg.shp_osf)
-
-    # matched filter
-    y, mf_state = filters.fir(y, taps, state.mf)
-
-    # timing recovery
-    if cfg.perfect_sync:
-        y, strobe, frac_state = sync.timing_perfect(
-            y, cfg.chn_max_delay, cfg.shp_osf, state.timing_frac)
-        gstate = state.gardner
-    else:
-        y, strobe, gstate = sync.gardner(y, cfg, state.gardner, act=act)
+    # fused tracking front-end: coarse mix + AGC + matched filter +
+    # blocked Gardner in one VMEM-resident Pallas kernel (the XLA stage
+    # sequence below paid per-block scan overhead that dominated the
+    # full-chain step; AGC scale computed on the pre-mix block — the
+    # variance is rotation-invariant up to the mean term, FER-neutral)
+    fuse = (cfg.fused_frontend == "always"
+            or (cfg.fused_frontend == "auto"
+                and jax.default_backend() not in ("cpu",)))
+    fuse = (fuse and not cfg.perfect_sync and act
+            and cfg.stm_type == "ULTRA" and cfg.shp_osf == 2
+            and B % 8 == 0)
+    if fuse:
+        from dvbs2_tpu.ops import frontend_pallas
+        y, strobe, coarse_state, mf_state, gstate = \
+            frontend_pallas.frontend(x, cfg, state.coarse, state.mf,
+                                     state.gardner)
         frac_state = state.timing_frac
+    else:
+        # coarse frequency derotation (frozen per-stream nu; genie knows
+        # the CFO)
+        if cfg.perfect_sync:
+            y, _nco = sync.coarse_perfect(
+                x, cfg.chn_max_freq_shift,
+                filters.NcoState(n=state.coarse.n[0]))
+            coarse_state = state.coarse._replace(
+                n=jnp.broadcast_to(_nco.n, state.coarse.n.shape))
+        else:
+            y, coarse_state = sync.coarse_mix(x, state.coarse)
+
+        # AGC at sample level (the reference normalizes the extracted
+        # symbol blocks to unit energy, Multiplier_AGC_cc_naive; at the
+        # sample rate the equivalent target is 1/osf per sample)
+        y = filters.agc(y, output_energy=1.0 / cfg.shp_osf)
+
+        # matched filter
+        y, mf_state = filters.fir(y, taps, state.mf)
+
+        # timing recovery
+        if cfg.perfect_sync:
+            y, strobe, frac_state = sync.timing_perfect(
+                y, cfg.chn_max_delay, cfg.shp_osf, state.timing_frac)
+            gstate = state.gardner
+        else:
+            y, strobe, gstate = sync.gardner(y, cfg, state.gardner,
+                                             act=act)
+            frac_state = state.timing_frac
 
     # strobed-symbol extraction -> (B, n_frames, L, 2)
     syms, ex_state, uf = sync.extract_strobed(

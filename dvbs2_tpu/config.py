@@ -92,6 +92,12 @@ class Config:
     # entry; measured parity: parity_full.json delay-4.0 rows at ULTRA).
     stm_type: str = "ULTRA"
     stm_hold_size: int = 101
+    # fused tracking front-end (coarse mix + AGC + matched filter +
+    # blocked Gardner in one VMEM-resident Pallas kernel,
+    # ops/frontend_pallas.py): "auto" = on TPU when the ULTRA tracking
+    # path applies; "never" = always the XLA stage composition; "always"
+    # = force (tests use interpret mode through the ops API instead)
+    fused_frontend: str = "auto"
     stm_damping: float = math.sqrt(0.5)
     stm_norm_bandwidth: float = 5e-5
     stm_detector_gain: float = 2.0

@@ -1,0 +1,386 @@
+"""Pallas TPU kernel: fused RX tracking front-end.
+
+Fuses the four per-sample-stream stages that dominated the full-chain
+step time (round-3 VERDICT: 26 Mb/s full chain vs 766 Mb/s BB on the
+same chip, front-end bound):
+
+    coarse-freq derotation (frozen per-stream nu DDS)   ops/sync.coarse_mix
+    AGC scale (scalar, computed outside)                ops/filters.agc
+    RRC matched filter (81-tap FIR)                     ops/filters.fir
+    blocked ULTRA Gardner (body + exact 4-sample tail)  ops/sync.gardner_block
+
+into ONE kernel that walks the hold-size blocks sequentially with ALL
+loop state resident in VMEM scratch — the XLA version paid per-block
+scan overhead (dispatch + state threading through HBM) that dwarfed the
+tiny per-block compute.
+
+Layout: samples ride the SUBLANE axis, streams the LANE axis (B tiled by
+128 like the LDPC kernel's F_BLK): FIR/Farrow shifts become sublane
+slices, the PI loop's prefix sums become log-depth sublane shifts, and
+the exact tail runs on (1, 128) rows.  Grid = (B/128, nblk) with the
+block index minor, so scratch state persists across a stream-tile's
+blocks (TPU grid iteration is sequential row-major).
+
+Reference behavior: Synchronizer_freq_coarse (imultiply DDS),
+Multiplier_AGC, Filter_FIR_ccr, Synchronizer_Gardner_ultra_osf2
+(src/common/Module/...); bit-level semantics match the XLA composition
+coarse_mix -> agc -> fir -> gardner_scan_blocked (mu0-from-NCO body,
+ops/sync.py), tested in tests/test_frontend_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dvbs2_tpu.config import Config
+from dvbs2_tpu.ops import filters, sync
+
+LANE = 128
+
+# float-state rows (sf scratch / packed state array)
+_NCO, _LFP, _LFO, _MU = 0, 1, 2, 3
+_FR0, _FR1, _FR2, _FI0, _FI1, _FI2 = 4, 5, 6, 7, 8, 9
+_TR0, _TR1, _TI0, _TI1 = 10, 11, 12, 13
+_NF = 14
+# int-state rows
+_HEAD, _MID, _HIST = 0, 1, 2
+_NI = 3
+
+
+def pick_hold(n: int, target: int) -> int:
+    """Largest-score divisor of n that is a multiple of 8, closest to
+    ``target`` (the kernel block height must tile the stream and keep
+    sublane alignment)."""
+    best, bd = 0, 10 ** 9
+    for h in range(8, min(2048, n) + 1, 8):
+        if n % h == 0 and abs(h - target) < bd:
+            best, bd = h, abs(h - target)
+    return best
+
+
+def _shift_down(x, s):
+    """Sublane shift filling zeros at the top: out[j] = x[j-s]."""
+    z = jnp.zeros((s,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([z, x[0:x.shape[0] - s]], axis=0)
+
+
+def _cumsum0(x):
+    """Cumulative sum along axis 0 via log-depth shifted adds (Mosaic has
+    no native cumsum lowering)."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x + _shift_down(x, s)
+        s *= 2
+    return x
+
+
+def _make_kernel(H: int, taps: np.ndarray, kp: float, ki: float,
+                 lane: int = LANE):
+    T = len(taps)
+    HALO = T - 1
+    body = H - 4
+    assert body % 2 == 0 and body > 0
+    tapsf = [np.float32(t) for t in taps]
+    LN = lane
+
+    def kernel(xr, xi, nu, n0, agc, sf0, si0, halo0,
+               yr, yi, strobe, sf_out, si_out, halo_out,
+               sf, si, halo):
+        k = pl.program_id(1)
+        nblk = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _init():
+            sf[:] = sf0[:]
+            si[:] = si0[:]
+            halo[:] = halo0[:]
+
+        # ---- coarse mix + AGC scale ----------------------------------
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (H, LN), 0) \
+            .astype(jnp.float32) + jnp.float32(H) * k.astype(jnp.float32)
+        n = jnp.mod(n0[0][None, :] + t_idx, 1e6)
+        ph = (2.0 * np.pi) * nu[0][None, :] * n
+        c, s = jnp.cos(ph), jnp.sin(ph)
+        g = agc[0][None, :]
+        xr_ = xr[:]
+        xi_ = xi[:]
+        mr = (xr_ * c - xi_ * s) * g
+        mi = (xr_ * s + xi_ * c) * g
+
+        # ---- matched filter over [halo | block] ----------------------
+        # halo rows [0:HALO] = re, [HALO:2*HALO] = im (packed 2D so the
+        # lane axis stays full — a (HALO, LANE, 2) layout would pad the
+        # minor dim 2 up to a full lane tile, 64x VMEM waste)
+        er = jnp.concatenate([halo[:HALO], mr], axis=0)     # (HALO+H, LANE)
+        ei = jnp.concatenate([halo[HALO:], mi], axis=0)
+        fr = jnp.zeros((H, LN), jnp.float32)
+        fi = jnp.zeros((H, LN), jnp.float32)
+        for t in range(T):
+            fr = fr + tapsf[t] * er[HALO - t:HALO - t + H]
+            fi = fi + tapsf[t] * ei[HALO - t:HALO - t + H]
+        halo[:] = jnp.concatenate([er[H:H + HALO], ei[H:H + HALO]],
+                                  axis=0)
+
+        # ---- Gardner body (forced alternation, mu0 from the NCO) -----
+        nco = sf[_NCO]                                       # (LANE,)
+        lf_prev = sf[_LFP]
+        lf_out = sf[_LFO]
+        hist = si[_HIST]
+        head = si[_HEAD]
+        mid = si[_MID]
+
+        s_prev = hist & 1
+        s_first = 1 - s_prev
+        W0 = lf_out + 0.5
+        mu0 = jnp.where(s_first > 0, nco, nco - W0) / W0
+        b0, b1, b2, b3 = [v[None, :] for v in filters.farrow_taps(mu0)]
+
+        fxr = jnp.concatenate([sf[_FR0][None], sf[_FR1][None],
+                               sf[_FR2][None], fr[:body]], axis=0)
+        fxi = jnp.concatenate([sf[_FI0][None], sf[_FI1][None],
+                               sf[_FI2][None], fi[:body]], axis=0)
+        ybr = (b0 * fxr[:body] + b1 * fxr[1:body + 1]
+               + b2 * fxr[2:body + 2] + b3 * fxr[3:body + 3])
+        ybi = (b0 * fxi[:body] + b1 * fxi[1:body + 1]
+               + b2 * fxi[2:body + 2] + b3 * fxi[3:body + 3])
+
+        par = jax.lax.broadcasted_iota(jnp.int32, (body, LN), 0) % 2
+        strb = (1 - s_prev[None, :] + par) % 2               # (body, LANE)
+
+        head0 = (head == 0)
+        t_r0, t_r1 = sf[_TR0], sf[_TR1]
+        t_i0, t_i1 = sf[_TI0], sf[_TI1]
+        ym2r = jnp.where(head0, t_r0, t_r1)                  # buf[head]
+        ym2i = jnp.where(head0, t_i0, t_i1)
+        ym1r = jnp.where(head0, t_r1, t_r0)                  # buf[mid]
+        ym1i = jnp.where(head0, t_i1, t_i0)
+        yer = jnp.concatenate([ym2r[None], ym1r[None], ybr], axis=0)
+        yei = jnp.concatenate([ym2i[None], ym1i[None], ybi], axis=0)
+        e = (yer[1:body + 1] * (yer[0:body] - yer[2:body + 2])
+             + yei[1:body + 1] * (yei[0:body] - yei[2:body + 2]))
+        e = jnp.where(strb > 0, e, 0.0)
+
+        lf_prev_v = lf_prev[None, :] + np.float32(ki) * _cumsum0(e)
+        lf_out_v = lf_prev_v + np.float32(kp) * e
+        w = 0.5 + jnp.concatenate([lf_out[None, :], lf_out_v[0:body - 1]],
+                                  axis=0)
+        nco = nco + jnp.sum(strb.astype(jnp.float32) - w, axis=0)
+
+        # post-body carry (body even => head/mid unchanged, osf=2)
+        t_r0 = jnp.where(head0, ybr[body - 2], ybr[body - 1])
+        t_i0 = jnp.where(head0, ybi[body - 2], ybi[body - 1])
+        t_r1 = jnp.where(head0, ybr[body - 1], ybr[body - 2])
+        t_i1 = jnp.where(head0, ybi[body - 1], ybi[body - 2])
+        hist = (strb[body - 2] << 1) + strb[body - 1]
+        lf_prev = lf_prev_v[body - 1]
+        lf_out = lf_out_v[body - 1]
+        f_r = [fr[body - 3], fr[body - 2], fr[body - 1]]
+        f_i = [fi[body - 3], fi[body - 2], fi[body - 1]]
+        mu = mu0
+
+        # ---- exact 4-sample tail (gardner_step2 on (LANE,) rows) -----
+        tail_y_r, tail_y_i, tail_s = [], [], []
+        for t in range(4):
+            W = lf_out + 0.5
+            is_strobe = nco < W
+            hist = ((hist << 1) % 4) + is_strobe.astype(jnp.int32)
+            nset = (hist & 1) + ((hist >> 1) & 1)
+            mu = jnp.where(is_strobe, nco / W, mu)
+            tb0, tb1, tb2, tb3 = filters.farrow_taps(mu)
+            xr_t, xi_t = fr[body + t], fi[body + t]
+            y_r = tb0 * f_r[0] + tb1 * f_r[1] + tb2 * f_r[2] + tb3 * xr_t
+            y_i = tb0 * f_i[0] + tb1 * f_i[1] + tb2 * f_i[2] + tb3 * xi_t
+            nco = jnp.where(is_strobe, nco + 1.0 - W, nco - W)
+
+            head0 = (head == 0)
+            h_r = jnp.where(head0, t_r0, t_r1)
+            h_i = jnp.where(head0, t_i0, t_i1)
+            m_r = jnp.where(head0, t_r1, t_r0)
+            m_i = jnp.where(head0, t_i1, t_i0)
+            ted = m_r * (h_r - y_r) + m_i * (h_i - y_i)
+            active = is_strobe & (nset == 1)
+            ted = jnp.where(active, ted, 0.0)
+
+            single = nset == 1
+            double = nset > 1
+            n_r0 = jnp.where(head0 & single, y_r,
+                             jnp.where(head0 & double, 0.0,
+                                       jnp.where((~head0) & double, y_r,
+                                                 t_r0)))
+            n_i0 = jnp.where(head0 & single, y_i,
+                             jnp.where(head0 & double, 0.0,
+                                       jnp.where((~head0) & double, y_i,
+                                                 t_i0)))
+            n_r1 = jnp.where((~head0) & single, y_r,
+                             jnp.where((~head0) & double, 0.0,
+                                       jnp.where(head0 & double, y_r,
+                                                 t_r1)))
+            n_i1 = jnp.where((~head0) & single, y_i,
+                             jnp.where((~head0) & double, 0.0,
+                                       jnp.where(head0 & double, y_i,
+                                                 t_i1)))
+            t_r0, t_i0, t_r1, t_i1 = n_r0, n_i0, n_r1, n_i1
+            shift = jnp.where(single, 1, jnp.where(double, 2, 0))
+            head = (head - shift) % 2
+            mid = (mid - shift) % 2
+
+            lf_prev = lf_prev + ted * np.float32(ki)
+            lf_out = jnp.where(active, lf_prev + ted * np.float32(kp),
+                               lf_prev)
+            f_r = [f_r[1], f_r[2], xr_t]
+            f_i = [f_i[1], f_i[2], xi_t]
+            tail_y_r.append(y_r)
+            tail_y_i.append(y_i)
+            tail_s.append(is_strobe.astype(jnp.int32))
+
+        yr[:] = jnp.concatenate([ybr] + [v[None] for v in tail_y_r], axis=0)
+        yi[:] = jnp.concatenate([ybi] + [v[None] for v in tail_y_i], axis=0)
+        strobe[:] = jnp.concatenate(
+            [strb] + [v[None] for v in tail_s], axis=0)
+
+        # ---- persist state -------------------------------------------
+        sf[_NCO], sf[_LFP], sf[_LFO], sf[_MU] = nco, lf_prev, lf_out, mu
+        sf[_FR0], sf[_FR1], sf[_FR2] = f_r
+        sf[_FI0], sf[_FI1], sf[_FI2] = f_i
+        sf[_TR0], sf[_TR1] = t_r0, t_r1
+        sf[_TI0], sf[_TI1] = t_i0, t_i1
+        si[_HEAD], si[_MID], si[_HIST] = head, mid, hist
+
+        @pl.when(k == nblk - 1)
+        def _fin():
+            sf_out[:] = sf[:]
+            si_out[:] = si[:]
+            halo_out[:] = halo[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("H", "kp", "ki", "taps_key",
+                                             "interpret", "lane"))
+def _run_kernel(xr, xi, nu, n0, agc, sf0, si0, halo0, H, kp, ki, taps_key,
+                interpret=False, lane=LANE):
+    taps = filters.rrc_taps(*taps_key)
+    N, B = xr.shape
+    nblk = N // H
+    HALO = len(taps) - 1
+    kern = _make_kernel(H, taps, kp, ki, lane=lane)
+    grid = (B // lane, nblk)
+    bspec = pl.BlockSpec((H, lane), lambda b, k: (k, b))
+    sspec_f = pl.BlockSpec((_NF, lane), lambda b, k: (0, b))
+    sspec_i = pl.BlockSpec((_NI, lane), lambda b, k: (0, b))
+    sspec_h = pl.BlockSpec((2 * HALO, lane), lambda b, k: (0, b))
+    vspec_1 = pl.BlockSpec((1, lane), lambda b, k: (0, b))
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, B), jnp.float32),      # yr
+        jax.ShapeDtypeStruct((N, B), jnp.float32),      # yi
+        jax.ShapeDtypeStruct((N, B), jnp.int32),        # strobe
+        jax.ShapeDtypeStruct((_NF, B), jnp.float32),    # sf_out
+        jax.ShapeDtypeStruct((_NI, B), jnp.int32),      # si_out
+        jax.ShapeDtypeStruct((2 * HALO, B), jnp.float32),  # halo_out
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bspec, bspec, vspec_1, vspec_1, vspec_1,
+                  sspec_f, sspec_i, sspec_h],
+        out_specs=(bspec, bspec, bspec, sspec_f, sspec_i, sspec_h),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((_NF, lane), jnp.float32),
+            pltpu.VMEM((_NI, lane), jnp.int32),
+            pltpu.VMEM((2 * HALO, lane), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(xr, xi, nu, n0, agc, sf0, si0, halo0)
+
+
+def pack_gardner(gst: sync.GardnerState):
+    """GardnerState -> (sf (_NF, B) f32, si (_NI, B) i32)."""
+    B = gst.nco.shape[0]
+    sf = jnp.zeros((_NF, B), jnp.float32)
+    sf = sf.at[_NCO].set(gst.nco).at[_LFP].set(gst.lf_prev) \
+           .at[_LFO].set(gst.lf_out).at[_MU].set(gst.mu)
+    sf = sf.at[_FR0].set(gst.farrow[:, 0, 0]) \
+           .at[_FR1].set(gst.farrow[:, 1, 0]) \
+           .at[_FR2].set(gst.farrow[:, 2, 0]) \
+           .at[_FI0].set(gst.farrow[:, 0, 1]) \
+           .at[_FI1].set(gst.farrow[:, 1, 1]) \
+           .at[_FI2].set(gst.farrow[:, 2, 1])
+    sf = sf.at[_TR0].set(gst.ted_buf[:, 0, 0]) \
+           .at[_TR1].set(gst.ted_buf[:, 1, 0]) \
+           .at[_TI0].set(gst.ted_buf[:, 0, 1]) \
+           .at[_TI1].set(gst.ted_buf[:, 1, 1])
+    si = jnp.zeros((_NI, B), jnp.int32)
+    si = si.at[_HEAD].set(gst.head).at[_MID].set(gst.mid) \
+           .at[_HIST].set(gst.history)
+    return sf, si
+
+
+def unpack_gardner(sf, si) -> sync.GardnerState:
+    farrow = jnp.stack([jnp.stack([sf[_FR0], sf[_FI0]], -1),
+                        jnp.stack([sf[_FR1], sf[_FI1]], -1),
+                        jnp.stack([sf[_FR2], sf[_FI2]], -1)], axis=1)
+    ted = jnp.stack([jnp.stack([sf[_TR0], sf[_TI0]], -1),
+                     jnp.stack([sf[_TR1], sf[_TI1]], -1)], axis=1)
+    return sync.GardnerState(
+        farrow=farrow, ted_buf=ted, head=si[_HEAD], mid=si[_MID],
+        history=si[_HIST], nco=sf[_NCO], lf_prev=sf[_LFP],
+        lf_out=sf[_LFO], mu=sf[_MU])
+
+
+def frontend(x, cfg: Config, coarse: sync.CoarseState, mf_state,
+             gst: sync.GardnerState, interpret: bool = False,
+             lane: int = None):
+    """Fused coarse-mix + AGC + matched filter + blocked Gardner.
+
+    x (B, N, 2) channel samples -> (y (B, N, 2), strobe (B, N) i8,
+    new_coarse, new_mf_state, new_gardner).  Drop-in for the XLA stage
+    sequence in chains/rx.py (same state pytrees; AGC computed on the
+    pre-mix signal — the scale is rotation-invariant up to the mean
+    term, FER-neutral, see tests).
+    """
+    B, N, _ = x.shape
+    assert cfg.shp_osf == 2
+    taps_key = (cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
+    taps = filters.rrc_taps(*taps_key)
+    H = pick_hold(N, cfg.stm_hold_size)
+    kp, ki = sync.gardner_gains(cfg)
+
+    # AGC scale on the raw block (|rot|=1 makes the variance identical up
+    # to the tiny mean term)
+    from dvbs2_tpu.ops import cplx
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(cplx.abs2(x - mean), axis=1)
+    scale = (np.sqrt(1.0 / cfg.shp_osf) / jnp.sqrt(var))    # (B,)
+
+    xr = x[..., 0].T                                        # (N, B)
+    xi = x[..., 1].T
+    # the carried MF history is the MIXED+SCALED signal's last T-1
+    # samples, exactly what the XLA fir state holds ((B, T-1, 2)); packed
+    # as rows [re | im] for the kernel
+    halo0 = jnp.concatenate([mf_state[..., 0].T, mf_state[..., 1].T],
+                            axis=0)                         # (2(T-1), B)
+    sf0, si0 = pack_gardner(gst)
+    nu = coarse.nu[None, :]
+    n0 = coarse.n[None, :]
+    if lane is None:
+        lane = LANE if B % LANE == 0 else max(
+            v for v in (8, 16, 32, 64, 128) if B % v == 0)
+    yr, yi, strobe, sf1, si1, halo1 = _run_kernel(
+        xr, xi, nu, n0, scale[None, :], sf0, si0, halo0,
+        H=H, kp=float(kp), ki=float(ki), taps_key=taps_key,
+        interpret=interpret, lane=lane)
+    y = jnp.stack([yr.T, yi.T], axis=-1)
+    new_coarse = coarse._replace(n=jnp.mod(coarse.n + N, 1e6))
+    HALO = len(taps) - 1
+    new_mf = jnp.stack([halo1[:HALO].T, halo1[HALO:].T], axis=-1)
+    return (y, strobe.T.astype(jnp.int8), new_coarse,
+            new_mf, unpack_gardner(sf1, si1))

@@ -26,13 +26,13 @@ def test_pallas_corrects_noise():
     rate = "8/9"
     t = get_table(rate)
     rng = np.random.RandomState(1)
-    bits = rng.randint(0, 2, (2, t.K)).astype(np.int8)
+    bits = rng.randint(0, 2, (1, t.K)).astype(np.int8)
     cw = np.asarray(ldpc.encode(jnp.asarray(bits), rate))
     sigma = float(np.sqrt(1.0 / (2 * (t.K / 16200) * 10 ** 0.65)))  # ~6.5 dB
     x = 1.0 - 2.0 * cw.astype(np.float32)
     y = x + sigma * rng.randn(*x.shape).astype(np.float32)
     llr = 2.0 * y / sigma**2
-    post = ldpc_pallas.decode_nms(jnp.asarray(llr), rate, n_ite=15,
+    post = ldpc_pallas.decode_nms(jnp.asarray(llr), rate, n_ite=8,
                                   interpret=True)
     hard = np.asarray(ldpc.hard_decision(post))
     np.testing.assert_array_equal(hard[:, :t.K], bits)

@@ -26,7 +26,7 @@ def test_tx_ch_rx_file_flow(tmp_path):
     write_src_file(srcf, payload)
     base = ["--mod-cod", "QPSK-S_8/9", "--dec-implem", "MS", "--dec-ite", "4",
             "--chn-max-delay", "4.5"]
-    n_tx = 24
+    n_tx = 16
     tx_main.main(base + ["--rad-tx-file-path", txf, "--tx-frames", str(n_tx),
                          "--src-type", "USER", "--src-path", srcf])
     assert os.path.getsize(txf) == n_tx * 8370 * 2 * 2 * 4  # F*L*osf*2*f32
@@ -70,7 +70,7 @@ def test_rx_main_acquisition_cfo(tmp_path):
     base = ["--mod-cod", "QPSK-S_8/9", "--dec-implem", "SPA", "--dec-ite",
             "20", "--chn-max-delay", "4.5", "--chn-max-freq-shift", "0.05",
             "--chn-type", "SYNCHRO"]
-    n_tx = 24
+    n_tx = 16
     tx_main.main(base + ["--rad-tx-file-path", txf, "--tx-frames", str(n_tx),
                          "--src-type", "USER", "--src-path", srcf])
     ch_main.main(base + ["--rad-rx-file-path", txf, "--rad-tx-file-path",

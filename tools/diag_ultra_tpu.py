@@ -35,9 +35,13 @@ EBN0 = float(os.environ.get("DIAG_EBN0", "4.0"))
 DEC = os.environ.get("DIAG_DEC", "NMS")
 NITE = int(os.environ.get("DIAG_NITE", "10"))
 
+HOLD = int(os.environ.get("DIAG_HOLD", "101"))
+DELAY = float(os.environ.get("DIAG_DELAY", "4.0"))
+
 cfg = Config(modcod="QPSK-S_8/9", ldpc_implem=DEC, ldpc_nite=NITE,
-             chn_max_freq_shift=0.0, chn_max_delay=4.0, stm_type=STM)
-dyn = (jnp.float32(0.0), jnp.float32(0.0))
+             chn_max_freq_shift=0.0, chn_max_delay=DELAY, stm_type=STM,
+             stm_hold_size=HOLD)
+dyn = (jnp.float32(0.0), jnp.float32(DELAY - int(DELAY)))
 sigma = jnp.full((B,), cfg.ebn0_to_sigma(EBN0), jnp.float32)
 
 
