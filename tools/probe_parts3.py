@@ -29,9 +29,10 @@ HOLD = int(os.environ.get("PROBE_HOLD", "404"))
 salt = time.time_ns() % (2 ** 31)
 key = jax.random.key(salt)
 
+FUSE = os.environ.get("DVBS2_FUSE", "auto")
 cfg = Config(modcod="QPSK-S_8/9", ldpc_implem="NMS", ldpc_nite=10,
              chn_max_freq_shift=0.05, chn_max_delay=4.5, stm_type="ULTRA",
-             stm_hold_size=HOLD)
+             stm_hold_size=HOLD, fused_frontend=FUSE)
 sigma = jnp.float32(cfg.ebn0_to_sigma(4.0))
 L = cfg.pl_frame_size
 N = F * L * cfg.shp_osf
@@ -62,17 +63,26 @@ def main():
         k, sigma, cfg, state0, B, F)[1])(key)
 
     rx = state0.rx
-    mix = jax.jit(lambda y: sync.coarse_mix(y, rx.coarse)[0])
-    agc = jax.jit(lambda y: filters.agc(y, output_energy=0.5))
-    mf = jax.jit(lambda y: filters.fir(y, taps, rx.mf)[0])
-    grd = jax.jit(lambda y: sync.gardner_scan_blocked(y, cfg, rx.gardner)[0])
-    t_mix = timed(mix, y0)
-    t_agc = timed(agc, y0)
-    t_mf = timed(mf, y0)
-    t_grd = timed(grd, y0)
-
-    yg, sg, _ = jax.jit(lambda y: sync.gardner_scan_blocked(
-        y, cfg, rx.gardner))(y0)
+    if FUSE != "never":
+        from dvbs2_tpu.ops import frontend_pallas
+        fe = jax.jit(lambda y: frontend_pallas.frontend(
+            y, cfg, rx.coarse, rx.mf, rx.gardner)[0])
+        t_mix = t_agc = t_mf = 0.0
+        t_grd = timed(fe, y0)
+        yg, sg = jax.jit(lambda y: frontend_pallas.frontend(
+            y, cfg, rx.coarse, rx.mf, rx.gardner)[:2])(y0)
+    else:
+        mix = jax.jit(lambda y: sync.coarse_mix(y, rx.coarse)[0])
+        agc = jax.jit(lambda y: filters.agc(y, output_energy=0.5))
+        mf = jax.jit(lambda y: filters.fir(y, taps, rx.mf)[0])
+        grd = jax.jit(lambda y: sync.gardner_scan_blocked(
+            y, cfg, rx.gardner)[0])
+        t_mix = timed(mix, y0)
+        t_agc = timed(agc, y0)
+        t_mf = timed(mf, y0)
+        t_grd = timed(grd, y0)
+        yg, sg, _ = jax.jit(lambda y: sync.gardner_scan_blocked(
+            y, cfg, rx.gardner))(y0)
     ext = jax.jit(lambda y, s: sync.extract_strobed(
         y, s, F * L, rx.extract)[0])
     t_ext = timed(ext, yg, sg)
@@ -118,8 +128,9 @@ def main():
     tot = t_mix + t_agc + t_mf + t_grd + t_ext + t_frm + t_dec
     print(f"B={B} F={F} hold={HOLD} (N={N}, {N // sync._pick_hold(N, HOLD)}"
           f" blocks):")
+    gname = "frontend(fused)" if FUSE != "never" else "gardner"
     for name, t in (("coarse mix", t_mix), ("agc", t_agc), ("mf", t_mf),
-                    ("gardner", t_grd), ("extract", t_ext),
+                    (gname, t_grd), ("extract", t_ext),
                     ("frame stages", t_frm), ("decode", t_dec)):
         print(f"  {name:13s} {t * 1e3:8.1f} ms  ({100 * t / t_step:4.1f}% "
               f"of step)")
