@@ -89,7 +89,7 @@ def _make_kernel(H: int, taps: np.ndarray, kp: float, ki: float,
     tapsf = [np.float32(t) for t in taps]
     LN = lane
 
-    def kernel(xr, xi, nu, n0, agc, sf0, si0, halo0,
+    def kernel(xr, xi, nu, n0, agc, wmf, sf0, si0, halo0,
                yr, yi, strobe, sf_out, si_out, halo_out,
                sf, si, halo):
         k = pl.program_id(1)
@@ -116,14 +116,15 @@ def _make_kernel(H: int, taps: np.ndarray, kp: float, ki: float,
         # ---- matched filter over [halo | block] ----------------------
         # halo rows [0:HALO] = re, [HALO:2*HALO] = im (packed 2D so the
         # lane axis stays full — a (HALO, LANE, 2) layout would pad the
-        # minor dim 2 up to a full lane tile, 64x VMEM waste)
+        # minor dim 2 up to a full lane tile, 64x VMEM waste).  The FIR
+        # runs as a banded-matrix matmul on the MXU (W[j, c] = h[HALO +
+        # j - c]); the unrolled 81-shifted-adds form blew the Mosaic
+        # scoped-vmem stack at bench geometry (16.7M > 16M).
         er = jnp.concatenate([halo[:HALO], mr], axis=0)     # (HALO+H, LANE)
         ei = jnp.concatenate([halo[HALO:], mi], axis=0)
-        fr = jnp.zeros((H, LN), jnp.float32)
-        fi = jnp.zeros((H, LN), jnp.float32)
-        for t in range(T):
-            fr = fr + tapsf[t] * er[HALO - t:HALO - t + H]
-            fi = fi + tapsf[t] * ei[HALO - t:HALO - t + H]
+        w_mf = wmf[:]
+        fr = jnp.dot(w_mf, er, preferred_element_type=jnp.float32)
+        fi = jnp.dot(w_mf, ei, preferred_element_type=jnp.float32)
         halo[:] = jnp.concatenate([er[H:H + HALO], ei[H:H + HALO]],
                                   axis=0)
 
@@ -270,11 +271,17 @@ def _run_kernel(xr, xi, nu, n0, agc, sf0, si0, halo0, H, kp, ki, taps_key,
     nblk = N // H
     HALO = len(taps) - 1
     kern = _make_kernel(H, taps, kp, ki, lane=lane)
+    # banded FIR matrix: y[j] = sum_t h[t] x[j-t]  ->  W[j, c] = h[HALO+j-c]
+    wmf = np.zeros((H, H + HALO), np.float32)
+    for j in range(H):
+        wmf[j, j:j + HALO + 1] = taps[::-1]
+    wmf = jnp.asarray(wmf)
     grid = (B // lane, nblk)
     bspec = pl.BlockSpec((H, lane), lambda b, k: (k, b))
     sspec_f = pl.BlockSpec((_NF, lane), lambda b, k: (0, b))
     sspec_i = pl.BlockSpec((_NI, lane), lambda b, k: (0, b))
     sspec_h = pl.BlockSpec((2 * HALO, lane), lambda b, k: (0, b))
+    wspec = pl.BlockSpec((H, H + HALO), lambda b, k: (0, 0))
     vspec_1 = pl.BlockSpec((1, lane), lambda b, k: (0, b))
     out_shapes = (
         jax.ShapeDtypeStruct((N, B), jnp.float32),      # yr
@@ -287,7 +294,7 @@ def _run_kernel(xr, xi, nu, n0, agc, sf0, si0, halo0, H, kp, ki, taps_key,
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bspec, bspec, vspec_1, vspec_1, vspec_1,
+        in_specs=[bspec, bspec, vspec_1, vspec_1, vspec_1, wspec,
                   sspec_f, sspec_i, sspec_h],
         out_specs=(bspec, bspec, bspec, sspec_f, sspec_i, sspec_h),
         out_shape=out_shapes,
@@ -299,7 +306,7 @@ def _run_kernel(xr, xi, nu, n0, agc, sf0, si0, halo0, H, kp, ki, taps_key,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(xr, xi, nu, n0, agc, sf0, si0, halo0)
+    )(xr, xi, nu, n0, agc, wmf, sf0, si0, halo0)
 
 
 def pack_gardner(gst: sync.GardnerState):
