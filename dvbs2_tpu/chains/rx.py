@@ -114,9 +114,20 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
                                              act=act)
             frac_state = state.timing_frac
 
-    # strobed-symbol extraction -> (B, n_frames, L, 2)
-    syms, ex_state, uf = sync.extract_strobed(
-        y, strobe, n_frames * L, state.extract)
+    # strobed-symbol extraction -> (B, n_frames, L, 2).  On TPU the
+    # dense masked-shift compaction replaces the generic scatter (the
+    # tracking strobe pattern is alternation with rare slips; patterns
+    # beyond its drift bound — e.g. un-acquired pull-in transients —
+    # raise `overflow`, which invalidates the step's frames WITHOUT the
+    # slip bump: the count bookkeeping stays exact, only values are
+    # unreliable for that step)
+    if jax.default_backend() not in ("cpu",):
+        syms, ex_state, uf, ovf = sync.extract_strobed_fast(
+            y, strobe, n_frames * L, state.extract)
+    else:
+        syms, ex_state, uf = sync.extract_strobed(
+            y, strobe, n_frames * L, state.extract)
+        ovf = jnp.zeros_like(uf)
     syms = syms.reshape(B, n_frames, L, 2)
 
     # per-frame stages with carried state: frame sync + L&R
@@ -148,24 +159,41 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
                               jnp.full((B,), known_delay, jnp.int32),
                               jnp.ones((B,), bool))
     else:
-        def per_frame(carry, frame):
+        # frame-sync correlation for ALL frames as one conv (the FIRs
+        # carry no per-frame state beyond the stream history; only the
+        # EMA/argmax/realign stay in the scan — bit-identical, and it
+        # removes F scanned convs from the hot path)
+        corr_all, prev_sym, fir_st = sync.frame_sync_corr(
+            syms.reshape(B, n_frames * L, 2), state.fsync)
+        corr_all = corr_all.reshape(B, n_frames, L)
+
+        def per_frame(carry, inp):
+            frame, corr = inp
             fs, lr = carry
-            aligned, delay, flag, metric, fs = sync.frame_sync(frame, cfg, fs)
+            aligned, delay, flag, metric, fs = sync.frame_sync_update(
+                frame, corr, cfg, fs)
             descr = scrambler.pl_scramble(aligned, descramble=True)
             derot, f_lr, lr = sync.lr_fine_freq(descr, cfg, lr)
             fine, _f, _p = sync.phase_freq_fine(derot, cfg)
             return (fs, lr), (fine, delay, flag)
 
     frames_t = syms.transpose(1, 0, 2, 3)            # (F, B, L, 2)
-    (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
-        per_frame, (state.fsync, state.lr), frames_t)
+    if cfg.perfect_sync:
+        (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
+            per_frame, (state.fsync, state.lr), frames_t)
+    else:
+        fs0 = state.fsync._replace(prev_sym=prev_sym, fir_state=fir_st)
+        (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
+            per_frame, (fs0, state.lr),
+            (frames_t, corr_all.transpose(1, 0, 2)))
 
     new_state = RxState(coarse=coarse_state, mf=mf_state, gardner=gstate,
                         timing_frac=frac_state, extract=ex_state,
                         fsync=fs_state, lr=lr_state,
                         sample_idx=state.sample_idx + N_samp)
     info = {"delay": delays.T, "flag": flags.T,
-            "underflow": uf.astype(jnp.int32)}
+            "underflow": uf.astype(jnp.int32),
+            "overflow": ovf.astype(jnp.int32)}
     if not decode:
         return None, info, new_state
 

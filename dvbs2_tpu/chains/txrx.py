@@ -127,8 +127,9 @@ def txrx_step(key: jax.Array, sigma, cfg: Config, state: TxRxState,
     errs = jnp.sum(dec != ref, axis=-1)                   # (B, F)
     gidx = state.frame_count + jnp.arange(F)[None, :]
     uf = info["underflow"]                                # (B,) 0/1
+    ovf = info.get("overflow", jnp.zeros_like(uf))
     valid = ((gidx >= warmup_frames + state.slips[:, None])
-             & (idx >= 0) & (uf[:, None] == 0))
+             & (idx >= 0) & (uf[:, None] == 0) & (ovf[:, None] == 0))
     be_s = jnp.sum(jnp.where(valid, errs, 0), axis=1)
     fe_s = jnp.sum(jnp.where(valid, errs > 0, False), axis=1)
     n_s = jnp.sum(valid.astype(jnp.int32), axis=1)

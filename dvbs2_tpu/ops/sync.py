@@ -96,8 +96,16 @@ def extract_strobed(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
     work_r = work[..., 0]
     work_i = work[..., 1]
     brow = jnp.arange(B)[:, None]
-    work_r = work_r.at[brow, idx].set(y[..., 0], mode="drop")
-    work_i = work_i.at[brow, idx].set(y[..., 1], mode="drop")
+    # per row the written indices are strictly increasing (cumsum slots)
+    # and the dump slot is out-of-bounds (dropped), so the scatter can
+    # skip XLA's generic sorted-dedup path — on TPU this is the
+    # difference between a sort-based lowering and a direct one
+    work_r = work_r.at[brow, idx].set(y[..., 0], mode="drop",
+                                      unique_indices=True,
+                                      indices_are_sorted=True)
+    work_i = work_i.at[brow, idx].set(y[..., 1], mode="drop",
+                                      unique_indices=True,
+                                      indices_are_sorted=True)
     work = jnp.stack([work_r, work_i], axis=-1)
     symbols = work[:, :n_out]
     underflow = total < n_out
@@ -115,6 +123,148 @@ def extract_strobed(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
     mask = (jnp.arange(cap)[None, :] < rem[:, None])[..., None]
     new_buf = jnp.where(mask, new_buf, 0.0)
     return symbols, ExtractState(buf=new_buf, count=rem), underflow
+
+
+def _shift_axis1(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Static shift along axis 1, zero-filled: out[:, j] = x[:, j-k]."""
+    if k == 0:
+        return x
+    if abs(k) >= x.shape[1]:
+        return jnp.zeros_like(x)
+    B = x.shape[0]
+    tail = x.shape[2:]
+    if k > 0:
+        z = jnp.zeros((B, k) + tail, x.dtype)
+        return jnp.concatenate([z, x[:, :x.shape[1] - k]], axis=1)
+    z = jnp.zeros((B, -k) + tail, x.dtype)
+    return jnp.concatenate([x[:, -k:], z], axis=1)
+
+
+def _var_shift_right(x: jnp.ndarray, n: jnp.ndarray, max_n: int):
+    """Per-stream variable right-shift (out[:, j] = x[:, j-n_b], zero-fill)
+    via log-depth masked static shifts — dense ops instead of a generic
+    per-stream gather."""
+    for bit in range(max(int(max_n).bit_length(), 1)):
+        sh = 1 << bit
+        shifted = _shift_axis1(x, sh)
+        take = ((n >> bit) & 1) > 0
+        x = jnp.where(take.reshape((-1,) + (1,) * (x.ndim - 1)), shifted, x)
+    return x
+
+
+def _var_shift_left(x: jnp.ndarray, n: jnp.ndarray, max_n: int):
+    """Per-stream variable left-shift (out[:, j] = x[:, j+n_b], zero-fill)."""
+    for bit in range(max(int(max_n).bit_length(), 1)):
+        sh = 1 << bit
+        shifted = _shift_axis1(x, -sh)
+        take = ((n >> bit) & 1) > 0
+        x = jnp.where(take.reshape((-1,) + (1,) * (x.ndim - 1)), shifted, x)
+    return x
+
+
+# Max |slot drift| from pure strobe alternation the fast tracking-mode
+# extraction can express within one step (each blocked-Gardner tail can
+# slip the pattern by at most one sample and the chatter is mean-
+# reverting; beyond this the stream is declared underflowed/slipped,
+# the same recovery path as a timing-loop underflow).
+EXTRACT_MAX_DRIFT = 8
+
+
+def extract_strobed_fast(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
+                         state: ExtractState):
+    """Tracking-mode strobed-symbol compaction without scatters/gathers.
+
+    Bit-equivalent to ``extract_strobed`` whenever the strobe pattern
+    stays within EXTRACT_MAX_DRIFT of sample-pair alternation over the
+    block (guaranteed in tracking, where the Gardner emits alternating
+    strobes with rare single-sample slips); otherwise the affected
+    stream is flagged underflowed (the slip-recovery path).  All data
+    movement is dense: the per-pair compaction is a (2R+1)-pass masked
+    shifted add and the carry splice two log-depth variable shifts —
+    the generic scatter/gather formulation paid ~10-20 ns/element on
+    TPU (~540 ms/step at bench geometry; this runs in ~30 ms).
+    """
+    B, N, _ = y.shape
+    cap = state.buf.shape[1]
+    P = N // 2
+    R = EXTRACT_MAX_DRIFT
+    s2 = strobe.reshape(B, P, 2).astype(jnp.int32)
+    c2 = s2[:, :, 0] + s2[:, :, 1]                    # (B, P) in 0..2
+    yp = y.reshape(B, P, 2, 2)
+    C = jnp.cumsum(c2, axis=1)                        # inclusive counts
+    base = C - c2                                     # first slot of pair p
+    p_idx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    d = base - p_idx                                  # (B, P) drift
+    overflow = jnp.any(jnp.abs(d) > R, axis=1) | \
+        jnp.any((jnp.abs(d + 1) > R) & (c2 == 2), axis=1)
+
+    # first symbol of each pair: y0 if strobed else y1
+    v1 = jnp.where(s2[:, :, 0, None] > 0, yp[:, :, 0], yp[:, :, 1])
+    v1 = jnp.where((c2 > 0)[..., None], v1, 0.0)
+    v2 = jnp.where((c2 == 2)[..., None], yp[:, :, 1], 0.0)
+
+    # place pair p's symbols at relative slots p + d[p] (and +1 for the
+    # second) by summing (2R+1) masked static shifts — slots are a
+    # contiguous enumeration, so each receives exactly one contribution
+    out = jnp.zeros((B, P + R + 1, 2), jnp.float32)
+    padv1 = jnp.pad(v1, ((0, 0), (0, R + 1), (0, 0)))
+    padv2 = jnp.pad(v2, ((0, 0), (0, R + 1), (0, 0)))
+    padd = jnp.pad(d, ((0, 0), (0, R + 1)), constant_values=10 * R)
+    padc2 = jnp.pad(c2, ((0, 0), (0, R + 1)))
+    for sdrift in range(-R, R + 1):
+        m1 = (padd == sdrift)[..., None]
+        out = out + _shift_axis1(jnp.where(m1, padv1, 0.0), sdrift)
+        m2 = ((padd == sdrift - 1) & (padc2 == 2))[..., None]
+        out = out + _shift_axis1(jnp.where(m2, padv2, 0.0), sdrift)
+
+    count = state.count                               # (B,) carried symbols
+    total = count + C[:, -1]
+    # underflow = real symbol shortfall (the slip-recovery path, same as
+    # extract_strobed); overflow = the drift bound was exceeded, so this
+    # block's symbol VALUES are unreliable but the COUNT bookkeeping is
+    # still exact (C comes from the true strobes) — consume normally and
+    # let the caller invalidate the step's frames without a slip bump
+    underflow = total < n_out
+
+    # final symbols: carry first, then the compacted stream
+    M = n_out
+    shifted = _var_shift_right(out[:, :M], count, cap)
+    carry_pad = jnp.pad(state.buf[:, :, :],
+                        ((0, 0), (0, max(M - cap, 0)), (0, 0)))[:, :M]
+    k_idx = jnp.arange(M)[None, :, None]
+    symbols = jnp.where(k_idx < count[:, None, None], carry_pad, shifted)
+
+    # new carry = S[n_out : n_out+rem] of the conceptual stream
+    # S = [carry(count) | compacted(C[-1])] when consuming, or S[:rem]
+    # when underflowed (consume nothing) — mirroring extract_strobed.
+    rem = jnp.where(underflow, jnp.minimum(total, cap),
+                    jnp.clip(total - n_out, 0, cap))
+    out_cap = out[:, :cap]
+    if out_cap.shape[1] < cap:
+        out_cap = jnp.pad(out_cap,
+                          ((0, 0), (0, cap - out_cap.shape[1]), (0, 0)))
+    kcap = jnp.arange(cap)[None, :, None]
+    # leftover old-carry symbols (only when count > n_out): carry[n_out:]
+    carA = (jnp.zeros_like(state.buf) if n_out >= cap
+            else jnp.pad(state.buf[:, n_out:],
+                         ((0, 0), (0, min(n_out, cap)), (0, 0))))
+    over = jnp.maximum(count - n_out, 0)
+    startS = jnp.maximum(n_out - count, 0)       # first kept stream symbol
+    strmB = _var_shift_left(out, startS, n_out)[:, :cap]
+    if strmB.shape[1] < cap:
+        strmB = jnp.pad(strmB,
+                        ((0, 0), (0, cap - strmB.shape[1]), (0, 0)))
+    strmB = _var_shift_right(strmB, over, cap)
+    consume_buf = jnp.where(kcap < over[:, None, None], carA, strmB)
+    # on underflow keep [carry | new symbols] like the scatter path
+    uf_buf = jnp.where(kcap < count[:, None, None],
+                       state.buf,
+                       _var_shift_right(out_cap, count, cap))
+    new_buf = jnp.where(underflow[:, None, None], uf_buf, consume_buf)
+    mask = (jnp.arange(cap)[None, :] < rem[:, None])[..., None]
+    new_buf = jnp.where(mask, new_buf, 0.0)
+    return symbols, ExtractState(buf=new_buf, count=rem.astype(jnp.int32)), \
+        underflow, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -712,6 +862,62 @@ def frame_sync_init(batch: int, frame_len: int) -> FrameSyncState:
     )
 
 
+def frame_sync_corr(x: jnp.ndarray, state: FrameSyncState):
+    """Correlation half of the frame synchronizer over a (B, M, 2) symbol
+    stream (M = any whole number of frames): differential stream z_n =
+    x_{n-1} conj(x_n), two real FIRs against the +-1/0 SOF/PLSC patterns,
+    corr = max(|SOF+PLSC|, |SOF-PLSC|).
+
+    Stateless w.r.t. the EMA — only prev_sym/fir_state advance — so a
+    whole step's F frames run as ONE conv instead of F scanned convs
+    (bit-identical: the per-frame FIR was warm-started from the previous
+    frame's carry, which is exactly what the full-stream conv computes).
+    Returns (corr (B, M), new_prev_sym, new_fir_state).
+    """
+    taps = _diff_taps()
+    sof_taps = np.where(np.arange(89) < 25, taps, 0)
+    plsc_taps = np.where(np.arange(89) >= 25, taps, 0)
+    xprev = jnp.concatenate([state.prev_sym, x[:, :-1]], axis=1)
+    z = cplx.mul_conj(xprev, x)
+    zc = jnp.concatenate([state.fir_state, z], axis=1)
+    ps_sof, _ = filters.fir(zc, sof_taps[::-1].copy())
+    ps_plsc, _ = filters.fir(zc, plsc_taps[::-1].copy())
+    ps_sof = ps_sof[:, 88:]
+    ps_plsc = ps_plsc[:, 88:]
+    corr = jnp.maximum(jnp.sqrt(cplx.abs2(ps_sof + ps_plsc)),
+                       jnp.sqrt(cplx.abs2(ps_sof - ps_plsc)))
+    return corr, x[:, -1:], z[:, -88:]
+
+
+def frame_sync_update(x: jnp.ndarray, corr: jnp.ndarray, cfg: Config,
+                      state: FrameSyncState):
+    """EMA/argmax/realign half of the frame synchronizer for one (B, L, 2)
+    frame whose correlation row is already computed."""
+    B, L, _ = x.shape
+    corr_vec = cfg.sfm_alpha * state.corr_vec + (1 - cfg.sfm_alpha) * corr
+    max_idx = jnp.argmax(corr_vec, axis=1).astype(jnp.int32)
+    max_corr = jnp.max(corr_vec, axis=1)
+    delay = (L + max_idx - 89) % L
+    flag = max_corr > cfg.sfm_trigger
+    # realign: output_delay with per-stream delay (L - delay) % L, i.e.
+    # out[n] = ext[start_b + n] with start_b = L - d in [0, L].  A direct
+    # per-stream gather lowers to ~8 ns/element generic gather on TPU
+    # (573 ms/step at bench geometry, measured); instead shift each row
+    # by start_b via log2(L) masked STATIC rolls — dense contiguous
+    # copies + selects the VPU streams at HBM speed.
+    d = (L - delay) % L
+    start = L - d                                           # (B,) in [0, L]
+    ext = jnp.concatenate([state.delay_buf, x], axis=1)     # (B, 2L, 2)
+    for bit in range(int(L).bit_length()):
+        sh = 1 << bit
+        rolled = jnp.concatenate([ext[:, sh:], ext[:, :sh]], axis=1)
+        take = ((start >> bit) & 1) > 0
+        ext = jnp.where(take[:, None, None], rolled, ext)
+    aligned = ext[:, :L]
+    new_state = state._replace(corr_vec=corr_vec, delay_buf=x)
+    return aligned, delay, flag, max_corr, new_state
+
+
 def frame_sync(x: jnp.ndarray, cfg: Config, state: FrameSyncState):
     """Frame synchronization over one (B, L, 2) frame-length symbol block.
 
@@ -721,38 +927,11 @@ def frame_sync(x: jnp.ndarray, cfg: Config, state: FrameSyncState):
     |SOF-PLSC|) with EMA smoothing; delay = argmax; realign with a variable
     delay (Synchronizer_frame_DVBS2_aib.cpp:44-123).
     """
-    B, L, _ = x.shape
-    taps = _diff_taps()
-    sof_taps = np.where(np.arange(89) < 25, taps, 0)
-    plsc_taps = np.where(np.arange(89) >= 25, taps, 0)
-    # differential stream: z[0] = prev * conj(x[0]), z[i] = x[i-1] conj(x[i])
-    xprev = jnp.concatenate([state.prev_sym, x[:, :-1]], axis=1)
-    z = cplx.mul_conj(xprev, x)
-    # correlation at position i sums tap_k * z[i-88+k]  ->  FIR with
-    # reversed taps: y[i] = sum_j h[j] z[i-j], h[j] = tap[88-j]
-    zc = jnp.concatenate([state.fir_state, z], axis=1)
-    ps_sof, _ = filters.fir(zc, sof_taps[::-1].copy())
-    ps_plsc, _ = filters.fir(zc, plsc_taps[::-1].copy())
-    ps_sof = ps_sof[:, 88:]
-    ps_plsc = ps_plsc[:, 88:]
-    corr = jnp.maximum(jnp.sqrt(cplx.abs2(ps_sof + ps_plsc)),
-                       jnp.sqrt(cplx.abs2(ps_sof - ps_plsc)))
-    corr_vec = cfg.sfm_alpha * state.corr_vec + (1 - cfg.sfm_alpha) * corr
-    max_idx = jnp.argmax(corr_vec, axis=1).astype(jnp.int32)
-    max_corr = jnp.max(corr_vec, axis=1)
-    delay = (L + max_idx - 89) % L
-    flag = max_corr > cfg.sfm_trigger
-    # realign: output_delay with per-stream delay (L - delay) % L
-    d = (L - delay) % L
-    ext = jnp.concatenate([state.delay_buf, x], axis=1)     # (B, 2L, 2)
-    # out[n] = ext[L - d + n]  (the last L+d..  window)
-    idx = (L - d)[:, None] + jnp.arange(L)[None, :]
-    brow = jnp.arange(B)[:, None]
-    aligned = jnp.stack([ext[..., 0][brow, idx], ext[..., 1][brow, idx]],
-                        axis=-1)
-    new_state = FrameSyncState(prev_sym=x[:, -1:], corr_vec=corr_vec,
-                               fir_state=z[:, -88:], delay_buf=x)
-    return aligned, delay, flag, max_corr, new_state
+    corr, prev_sym, fir_state = frame_sync_corr(x, state)
+    aligned, delay, flag, max_corr, st = frame_sync_update(
+        x, corr, cfg, state._replace(prev_sym=prev_sym,
+                                     fir_state=fir_state))
+    return aligned, delay, flag, max_corr, st
 
 
 # ---------------------------------------------------------------------------

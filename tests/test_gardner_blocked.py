@@ -137,3 +137,61 @@ def test_blocked_pending_wrap_at_block_entry():
         err = np.max(np.abs(ve[:n] - vb[:n]))
         scale = np.max(np.abs(ve))
         assert err < 0.05 * scale, f"stream {b}: err {err} vs {scale}"
+
+
+def test_extract_fast_matches_scatter():
+    """extract_strobed_fast (dense masked-shift compaction) must be
+    bit-equivalent to the scatter-based extract_strobed on tracking-mode
+    strobe patterns: alternation with occasional single-sample slips
+    (3-gaps / double strobes), across carry levels."""
+    rng = np.random.RandomState(3)
+    B, N = 4, 4096
+    for trial, (n_out, cap) in enumerate(
+            [(1900, 512), (1900, 512), (2048, 4096), (2000, 2048)]):
+        # build per-stream alternating strobes with injected slips
+        s = np.zeros((B, N), np.int8)
+        for b in range(B):
+            pos = b % 2
+            j = pos
+            while j < N:
+                s[b, j] = 1
+                step = 2
+                r = rng.rand()
+                if r < 0.01:
+                    step = 3        # missed strobe (3-gap)
+                elif r < 0.02:
+                    step = 1        # double strobe
+                j += step
+        y = rng.randn(B, N, 2).astype(np.float32)
+        count0 = np.array([0, 3, 57, cap - 2][:B], np.int32)
+        buf0 = np.zeros((B, cap, 2), np.float32)
+        for b in range(B):
+            buf0[b, :count0[b]] = rng.randn(count0[b], 2)
+        st0 = sync.ExtractState(buf=jnp.asarray(buf0),
+                                count=jnp.asarray(count0))
+        a_sym, a_st, a_uf = sync.extract_strobed(
+            jnp.asarray(y), jnp.asarray(s), n_out, st0)
+        b_sym, b_st, b_uf, b_ovf = sync.extract_strobed_fast(
+            jnp.asarray(y), jnp.asarray(s), n_out, st0)
+        assert not np.asarray(b_ovf).any(), trial
+        assert np.array_equal(np.asarray(a_uf), np.asarray(b_uf)), trial
+        np.testing.assert_array_equal(np.asarray(a_sym),
+                                      np.asarray(b_sym), err_msg=str(trial))
+        assert np.array_equal(np.asarray(a_st.count),
+                              np.asarray(b_st.count)), trial
+        np.testing.assert_array_equal(np.asarray(a_st.buf),
+                                      np.asarray(b_st.buf),
+                                      err_msg=str(trial))
+
+
+def test_extract_fast_flags_excess_drift():
+    """Patterns beyond EXTRACT_MAX_DRIFT of alternation must be flagged
+    (underflow/slip path), not silently corrupted."""
+    B, N, n_out, cap = 1, 2048, 900, 256
+    s = np.zeros((B, N), np.int8)
+    s[0, : N // 2] = 1           # strobe density 1 for half the block
+    y = np.random.RandomState(0).randn(B, N, 2).astype(np.float32)
+    st0 = sync.extract_init(B, cap)
+    _sym, _st, _uf, ovf = sync.extract_strobed_fast(
+        jnp.asarray(y), jnp.asarray(s), n_out, st0)
+    assert bool(ovf[0])
