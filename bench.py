@@ -76,8 +76,10 @@ def bench_full(salt: int, implem: str = "NMS", n_ite: int = 10) -> float:
     from dvbs2_tpu.config import Config
     from dvbs2_tpu.chains import txrx
 
-    # geometry tuned on the TPU (tools/probe_geom.py round 3): B=128/F=32/
-    # hold=404 more than doubles B=192/F=4/hold=101 (26.2 vs 10.6 Mb/s)
+    # geometry tuned on the TPU (tools/probe_geom.py round 3; round 4's
+    # fused front-end + dense extraction moved the bench 26.1 -> 147.4
+    # Mb/s at the same geometry — tools/probe_parts4.py for the stage
+    # breakdown)
     B = int(os.environ.get("BENCH_FULL_STREAMS", "128"))
     F = int(os.environ.get("BENCH_FULL_FRAMES", "32"))
     hold = int(os.environ.get("BENCH_FULL_HOLD", "404"))
