@@ -96,16 +96,15 @@ def extract_strobed(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
     work_r = work[..., 0]
     work_i = work[..., 1]
     brow = jnp.arange(B)[:, None]
-    # per row the written indices are strictly increasing (cumsum slots)
-    # and the dump slot is out-of-bounds (dropped), so the scatter can
-    # skip XLA's generic sorted-dedup path — on TPU this is the
-    # difference between a sort-based lowering and a direct one
-    work_r = work_r.at[brow, idx].set(y[..., 0], mode="drop",
-                                      unique_indices=True,
-                                      indices_are_sorted=True)
-    work_i = work_i.at[brow, idx].set(y[..., 1], mode="drop",
-                                      unique_indices=True,
-                                      indices_are_sorted=True)
+    # NOTE: do NOT pass indices_are_sorted/unique_indices hints here —
+    # the dump index (cap+N) is interleaved between the increasing slots
+    # and repeated, so neither property holds for the full index array;
+    # with the hints the TPU lowering silently mis-scatters for some
+    # strobe patterns (measured round 4: NaN-poisoned acquisition
+    # correlators for ~2/64 streams at B=64).  The tracking hot path
+    # avoids this scatter entirely via extract_strobed_fast.
+    work_r = work_r.at[brow, idx].set(y[..., 0], mode="drop")
+    work_i = work_i.at[brow, idx].set(y[..., 1], mode="drop")
     work = jnp.stack([work_r, work_i], axis=-1)
     symbols = work[:, :n_out]
     underflow = total < n_out
