@@ -79,6 +79,9 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
             and cfg.stm_type == "ULTRA" and cfg.shp_osf == 2
             and B % 8 == 0)
     if fuse:
+        from dvbs2_tpu.ops import frontend_pallas as _fp
+        fuse = _fp.pick_hold(N_samp, cfg.stm_hold_size) >= 8
+    if fuse:
         from dvbs2_tpu.ops import frontend_pallas
         y, strobe, coarse_state, mf_state, gstate = \
             frontend_pallas.frontend(x, cfg, state.coarse, state.mf,
@@ -121,7 +124,10 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
     # raise `overflow`, which invalidates the step's frames WITHOUT the
     # slip bump: the count bookkeeping stays exact, only values are
     # unreliable for that step)
-    if jax.default_backend() not in ("cpu",):
+    if jax.default_backend() not in ("cpu",) and cfg.shp_osf == 2:
+        # (osf==2 only: the fast compaction assumes pair-alternation
+        # strobe density 1/2; other osf would drift past the bound and
+        # flag every step)
         syms, ex_state, uf, ovf = sync.extract_strobed_fast(
             y, strobe, n_frames * L, state.extract)
     else:

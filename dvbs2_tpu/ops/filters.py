@@ -201,7 +201,7 @@ def cfo_mix(x: jnp.ndarray, nu, state: Optional[NcoState] = None,
         # For nu that is NOT a 1e-6 multiple the two rules differ, so
         # callers must host-quantize (quantize_nu) before tracing — the
         # dyn paths do (chains/channel_chain.impair callers), pinned by
-        # tests/test_chain_full.test_dyn_quantization_consistency.
+        # tests/test_filters.py::test_cfo_mix_traced_matches_static_nonmultiple_nu.
         nu_q = jnp.round(jnp.asarray(nu, jnp.float32) * 1e6) / 1e6
     omega = 2.0 * np.pi * nu_q
     N = x.shape[1]

@@ -53,14 +53,13 @@ _NI = 3
 
 
 def pick_hold(n: int, target: int) -> int:
-    """Largest-score divisor of n that is a multiple of 8, closest to
-    ``target`` (the kernel block height must tile the stream and keep
-    sublane alignment)."""
-    best, bd = 0, 10 ** 9
-    for h in range(8, min(2048, n) + 1, 8):
-        if n % h == 0 and abs(h - target) < bd:
-            best, bd = h, abs(h - target)
-    return best
+    """Kernel block height: a multiple-of-8 divisor of n closest to
+    ``target`` (Mosaic requires the sublane block dim divisible by 8).
+    Returns 0 when none exists (e.g. odd frames-per-step gives
+    N = 4 mod 8) — the chain then falls back to the unfused XLA path
+    (chains/rx.py fuse guard).  Shares the divisor search with
+    ops/sync._pick_hold."""
+    return sync._pick_hold(n, target, lo=8, hi=2048, step=8)
 
 
 def _shift_down(x, s):

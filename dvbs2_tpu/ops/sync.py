@@ -222,7 +222,12 @@ def extract_strobed_fast(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
     # extract_strobed); overflow = the drift bound was exceeded, so this
     # block's symbol VALUES are unreliable but the COUNT bookkeeping is
     # still exact (C comes from the true strobes) — consume normally and
-    # let the caller invalidate the step's frames without a slip bump
+    # let the caller invalidate the step's frames without a slip bump.
+    # The carried remainder (<= carry-level, ~1 symbol in lock) may hold
+    # unreliable values into the next step's first frame; overflow only
+    # fires on out-of-spec patterns (un-acquired pull-in) where frames
+    # are failing anyway, so that residue is accepted and documented
+    # rather than double-flagged
     underflow = total < n_out
 
     # final symbols: carry first, then the compacted stream
@@ -669,11 +674,15 @@ def gardner_step2(st: GardnerState, xi: jnp.ndarray, kp: float, ki: float):
     return new, y, is_strobe
 
 
-def _pick_hold(n: int, target: int, lo: int = 16, hi: int = 512) -> int:
-    """Largest divisor of ``n`` in [lo, hi] closest to ``target`` so the
-    block scan tiles the stream exactly (no per-sample remainder)."""
+def _pick_hold(n: int, target: int, lo: int = 16, hi: int = 512,
+               step: int = 1) -> int:
+    """Divisor of ``n`` in [lo, hi] (on the ``step`` grid) closest to
+    ``target`` so the block scan tiles the stream exactly (no per-sample
+    remainder).  Returns 0 when no such divisor exists (callers fall
+    back to the exact per-sample scan / unfused path)."""
     best, best_d = 0, 10 ** 9
-    for h in range(lo, min(hi, n) + 1):
+    start = lo + (-lo) % step
+    for h in range(start, min(hi, n) + 1, step):
         if n % h == 0 and abs(h - target) < best_d:
             best, best_d = h, abs(h - target)
     return best
