@@ -103,6 +103,15 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
 
     r = p.add_argument_group("rad")
     r.add_argument("--rad-rx-file-path", default=None)
+    r.add_argument("--rad-threaded", action="store_true",
+                   help="dedicated native receive thread + preallocated "
+                        "ring FIFO (the reference's Radio_USRP threaded "
+                        "mode, Radio.hpp:25; here it overlaps file IO "
+                        "with device compute via native/dvbs2_io.cpp)")
+    r.add_argument("--rad-fifo-size", type=float, default=1e8,
+                   help="receive FIFO bytes for --rad-threaded (the "
+                        "reference defaults to 1e10; this host keeps "
+                        "1e8 to fit RAM)")
     r.add_argument("--rad-tx-file-path", default=None)
     r.add_argument("--rad-rx-no-loop", action="store_true")
     return p

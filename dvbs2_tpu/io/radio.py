@@ -16,6 +16,46 @@ class EndOfStream(Exception):
     """Host-side analogue of spu::tools::processing_aborted at file EOF."""
 
 
+class NativeThreadedRadio:
+    """Receive-path radio backed by the native threaded ring stream
+    (native/dvbs2_io.cpp — the TPU-native analogue of Radio_USRP's
+    dedicated receive thread + preallocated FIFO,
+    reference: Radio_USRP.cpp:141-180 / --rad-threaded --rad-fifo-size):
+    a C++ producer thread pre-reads the file into a ring buffer so host
+    IO overlaps device compute.  FileRadio-compatible ``receive``."""
+
+    def __init__(self, path: str, loop: bool = True,
+                 fifo_bytes: float = 1e8):
+        from dvbs2_tpu.io import native
+        self.path = path
+        self._stream = native.NativeStream(
+            path, capacity_floats=max(int(fifo_bytes) // 4, 1 << 16),
+            loop=loop)
+
+    def receive(self, n_samples: int) -> np.ndarray:
+        out = self._stream.read(n_samples)
+        if out.shape[0] < n_samples:
+            raise EndOfStream(self.path)
+        return out
+
+    def close(self) -> None:
+        self._stream.close()
+
+
+def open_rx_radio(args):
+    """RX radio per the rad-* argument group: the native threaded ring
+    when --rad-threaded (falling back to FileRadio if the native
+    toolchain is unavailable), else the plain file reader."""
+    loop = not args.rad_rx_no_loop
+    if getattr(args, "rad_threaded", False):
+        try:
+            return NativeThreadedRadio(args.rad_rx_file_path, loop=loop,
+                                       fifo_bytes=args.rad_fifo_size)
+        except Exception as e:
+            print(f"# rad-threaded unavailable ({e}); using FileRadio")
+    return FileRadio(args.rad_rx_file_path, "r", loop=loop)
+
+
 class FileRadio:
     """Reader/writer of USER_BIN IQ streams in (N, 2) float32 blocks."""
 

@@ -10,7 +10,7 @@ import numpy as np
 
 from dvbs2_tpu import cli
 from dvbs2_tpu.chains.rx import rx_frames, rx_init
-from dvbs2_tpu.io.radio import FileRadio
+from dvbs2_tpu.io.radio import open_rx_radio
 
 
 def main(argv=None):
@@ -21,8 +21,7 @@ def main(argv=None):
     p.add_argument("--acq-learn3", type=int, default=200)
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
-    radio = FileRadio(args.rad_rx_file_path, "r",
-                      loop=not args.rad_rx_no_loop)
+    radio = open_rx_radio(args)
     F = 8
     sigma = cfg.ebn0_to_sigma(args.sim_noise_min)
     if cfg.perfect_sync or args.no_wl_phases:

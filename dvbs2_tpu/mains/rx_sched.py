@@ -21,7 +21,7 @@ import numpy as np
 from dvbs2_tpu import cli
 from dvbs2_tpu.chains.rx import rx_frames, rx_init
 from dvbs2_tpu.harness import scheduler, stats
-from dvbs2_tpu.io.radio import FileRadio
+from dvbs2_tpu.io.radio import open_rx_radio
 
 
 def main(argv=None):
@@ -41,8 +41,7 @@ def main(argv=None):
                               reps=args.sched_p)
 
     # --- run the fused receiver (what actually executes) ---
-    radio = FileRadio(args.rad_rx_file_path, "r",
-                      loop=not args.rad_rx_no_loop)
+    radio = open_rx_radio(args)
     F = 8
     sigma = cfg.ebn0_to_sigma(args.sim_noise_min)
     if cfg.perfect_sync or args.no_wl_phases:

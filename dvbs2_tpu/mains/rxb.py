@@ -17,7 +17,7 @@ import numpy as np
 
 from dvbs2_tpu import cli
 from dvbs2_tpu.chains.rx import rx_frames, rx_init
-from dvbs2_tpu.io.radio import FileRadio
+from dvbs2_tpu.io.radio import open_rx_radio
 
 
 def main(argv=None):
@@ -37,7 +37,7 @@ def main(argv=None):
         recv_n = stream.read
         native = True
     except Exception:
-        radio = FileRadio(args.rad_rx_file_path, "r", loop=True)
+        radio = open_rx_radio(args)
         recv_n = radio.receive
         native = False
     recv = lambda: recv_n(n)

@@ -37,3 +37,19 @@ def test_stream_reader_loop_and_noloop(tmp_path, dll):
     got = s2.read(800)  # wants 1600 floats, file has 1000
     assert got.size == 1000
     s2.close()
+
+
+def test_native_threaded_radio_matches_file_radio(tmp_path, dll):
+    """--rad-threaded path: the native ring-backed radio must deliver the
+    same sample stream as FileRadio (reference Radio_USRP threaded-FIFO
+    analogue)."""
+    from dvbs2_tpu.io.radio import FileRadio, NativeThreadedRadio
+    rng = np.random.RandomState(7)
+    data = rng.randn(5000, 2).astype(np.float32)
+    f = str(tmp_path / "iq.bin")
+    data.tofile(f)
+    a = FileRadio(f, "r", loop=True)
+    b = NativeThreadedRadio(f, loop=True, fifo_bytes=1 << 18)
+    for n in (1000, 3000, 2500):
+        np.testing.assert_array_equal(a.receive(n), b.receive(n))
+    b.close()
