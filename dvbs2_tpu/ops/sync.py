@@ -139,26 +139,28 @@ def _shift_axis1(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.concatenate([x[:, -k:], z], axis=1)
 
 
-def _var_shift_right(x: jnp.ndarray, n: jnp.ndarray, max_n: int):
-    """Per-stream variable right-shift (out[:, j] = x[:, j-n_b], zero-fill)
-    via log-depth masked static shifts — dense ops instead of a generic
-    per-stream gather."""
+def _var_shift(x: jnp.ndarray, n: jnp.ndarray, max_n: int, sign: int):
+    """Per-stream variable shift (right for sign=+1: out[:, j] =
+    x[:, j-n_b]; left for -1), zero-filled, via log-depth masked static
+    shifts — dense ops instead of a ~10-20 ns/element generic per-stream
+    gather.  (A coarse-block take_along + fine-rolls variant was
+    measured SLOWER here — the per-row block gather over ~500 blocks
+    lowers poorly — unlike the frame-sync realign where the window is
+    only ~18 blocks; keep the pure roll form.)"""
     for bit in range(max(int(max_n).bit_length(), 1)):
         sh = 1 << bit
-        shifted = _shift_axis1(x, sh)
+        shifted = _shift_axis1(x, sign * sh)
         take = ((n >> bit) & 1) > 0
         x = jnp.where(take.reshape((-1,) + (1,) * (x.ndim - 1)), shifted, x)
     return x
+
+
+def _var_shift_right(x: jnp.ndarray, n: jnp.ndarray, max_n: int):
+    return _var_shift(x, n, max_n, 1)
 
 
 def _var_shift_left(x: jnp.ndarray, n: jnp.ndarray, max_n: int):
-    """Per-stream variable left-shift (out[:, j] = x[:, j+n_b], zero-fill)."""
-    for bit in range(max(int(max_n).bit_length(), 1)):
-        sh = 1 << bit
-        shifted = _shift_axis1(x, -sh)
-        take = ((n >> bit) & 1) > 0
-        x = jnp.where(take.reshape((-1,) + (1,) * (x.ndim - 1)), shifted, x)
-    return x
+    return _var_shift(x, n, max_n, -1)
 
 
 # Max |slot drift| from pure strobe alternation the fast tracking-mode
@@ -916,12 +918,29 @@ def frame_sync_update(x: jnp.ndarray, corr: jnp.ndarray, cfg: Config,
     d = (L - delay) % L
     start = L - d                                           # (B,) in [0, L]
     ext = jnp.concatenate([state.delay_buf, x], axis=1)     # (B, 2L, 2)
-    for bit in range(int(L).bit_length()):
+    # two-level shift: coarse C-sample blocks via one take_along gather
+    # (per-(row,block) indices move C-contiguous slices — fast, unlike
+    # per-element gathers), then the residual < C via log2(C) masked
+    # static rolls.  ~5x less roll traffic than log2(L) full-width
+    # passes; out[n] = ext[start + n] exactly (pinned by the CPU test
+    # against the direct gather).
+    C = 512
+    nb_win = (L + C - 1) // C + 1              # window blocks (>= L + C)
+    nb_tot = (2 * L + C - 1) // C + 1          # blocks covering all of ext
+    extp = jnp.pad(ext, ((0, 0), (0, nb_tot * C - 2 * L), (0, 0)))
+    blk = extp.reshape(B, nb_tot, C, 2)
+    coarse = start // C                        # (B,) block offset
+    bidx = coarse[:, None] + jnp.arange(nb_win)[None, :]
+    bidx = jnp.clip(bidx, 0, nb_tot - 1)
+    sel = jnp.take_along_axis(blk, bidx[:, :, None, None], axis=1)
+    win = sel.reshape(B, nb_win * C, 2)        # ext[coarse*C : ...]
+    fine = start - coarse * C                  # (B,) in [0, C)
+    for bit in range(int(C - 1).bit_length()):
         sh = 1 << bit
-        rolled = jnp.concatenate([ext[:, sh:], ext[:, :sh]], axis=1)
-        take = ((start >> bit) & 1) > 0
-        ext = jnp.where(take[:, None, None], rolled, ext)
-    aligned = ext[:, :L]
+        rolled = jnp.concatenate([win[:, sh:], win[:, :sh]], axis=1)
+        take = ((fine >> bit) & 1) > 0
+        win = jnp.where(take[:, None, None], rolled, win)
+    aligned = win[:, :L]
     new_state = state._replace(corr_vec=corr_vec, delay_buf=x)
     return aligned, delay, flag, max_corr, new_state
 

@@ -195,3 +195,52 @@ def test_extract_fast_flags_excess_drift():
     _sym, _st, _uf, ovf = sync.extract_strobed_fast(
         jnp.asarray(y), jnp.asarray(s), n_out, st0)
     assert bool(ovf[0])
+
+
+def test_frame_sync_realign_matches_gather():
+    """The two-level realign (coarse block take_along + fine masked
+    rolls) must equal the direct per-stream gather exactly for every
+    start offset class."""
+    from dvbs2_tpu.config import Config
+    cfg = Config(modcod="QPSK-S_8/9")
+    L = cfg.pl_frame_size
+    B = 6
+    rng = np.random.RandomState(11)
+    frame = jnp.asarray(rng.randn(B, L, 2).astype(np.float32))
+    st = sync.frame_sync_init(B, L)
+    st = st._replace(delay_buf=jnp.asarray(
+        rng.randn(B, L, 2).astype(np.float32)))
+    # force specific delays via a crafted corr row (spike at max_idx)
+    for delays in ([0, 1, 511, 512, 8281, L - 1],
+                   [44, 513, 1023, 1024, 4185, L - 89]):
+        corr = np.zeros((B, L), np.float32)
+        for b, d in enumerate(delays):
+            corr[b, (d + 89) % L] = 1e6
+        aligned, dly, _f, _m, _st = sync.frame_sync_update(
+            frame, jnp.asarray(corr), cfg, st)
+        assert np.array_equal(np.asarray(dly), np.array(delays) % L)
+        ext = np.concatenate([np.asarray(st.delay_buf),
+                              np.asarray(frame)], axis=1)
+        for b, d in enumerate(delays):
+            startb = L - ((L - d) % L)
+            ref = ext[b, startb:startb + L]
+            np.testing.assert_array_equal(np.asarray(aligned)[b], ref,
+                                          err_msg=f"delay {d}")
+
+
+def test_var_shift_two_level_exact():
+    """_var_shift_right/_left (coarse block gather + fine rolls) must
+    equal numpy shifts for shifts spanning the coarse/fine boundary."""
+    rng = np.random.RandomState(2)
+    B, M = 5, 3000
+    x = rng.randn(B, M, 2).astype(np.float32)
+    shifts = np.array([0, 1, 511, 512, 2049], np.int32)[:B]
+    xr = np.asarray(sync._var_shift_right(jnp.asarray(x),
+                                          jnp.asarray(shifts), 2600))
+    xl = np.asarray(sync._var_shift_left(jnp.asarray(x),
+                                         jnp.asarray(shifts), 2600))
+    for b, s in enumerate(shifts):
+        r = np.zeros_like(x[b]); r[s:] = x[b, :M - s] if s else x[b]
+        l = np.zeros_like(x[b]); l[:M - s] = x[b, s:] if s else x[b]
+        np.testing.assert_array_equal(xr[b], r, err_msg=f"right {s}")
+        np.testing.assert_array_equal(xl[b], l, err_msg=f"left {s}")
