@@ -76,21 +76,25 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
             or (cfg.fused_frontend == "auto"
                 and jax.default_backend() not in ("cpu",)))
     fuse = (fuse and not cfg.perfect_sync and act
-            and cfg.stm_type == "ULTRA" and cfg.shp_osf == 2
-            and B % 8 == 0)
+            and cfg.stm_type == "ULTRA" and cfg.sfc_type != "PERFECT"
+            and cfg.shp_osf == 2 and B % 8 == 0)
     if fuse:
         from dvbs2_tpu.ops import frontend_pallas as _fp
         fuse = _fp.pick_hold(N_samp, cfg.stm_hold_size) >= 8
     if fuse:
         from dvbs2_tpu.ops import frontend_pallas
+        # "always" on the CPU backend runs the kernel in interpret mode
+        # (Mosaic has no CPU lowering) so the forced path still works in
+        # CPU-only environments/tests instead of failing at lowering
         y, strobe, coarse_state, mf_state, gstate = \
-            frontend_pallas.frontend(x, cfg, state.coarse, state.mf,
-                                     state.gardner)
+            frontend_pallas.frontend(
+                x, cfg, state.coarse, state.mf, state.gardner,
+                interpret=(jax.default_backend() == "cpu"))
         frac_state = state.timing_frac
     else:
         # coarse frequency derotation (frozen per-stream nu; genie knows
         # the CFO)
-        if cfg.perfect_sync:
+        if cfg.perfect_sync or cfg.sfc_type == "PERFECT":
             y, _nco = sync.coarse_perfect(
                 x, cfg.chn_max_freq_shift,
                 filters.NcoState(n=state.coarse.n[0]))
@@ -108,7 +112,7 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
         y, mf_state = filters.fir(y, taps, state.mf)
 
         # timing recovery
-        if cfg.perfect_sync:
+        if cfg.perfect_sync or cfg.stm_type == "PERFECT":
             y, strobe, frac_state = sync.timing_perfect(
                 y, cfg.chn_max_delay, cfg.shp_osf, state.timing_frac)
             gstate = state.gardner
@@ -137,7 +141,14 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
     syms = syms.reshape(B, n_frames, L, 2)
 
     # per-frame stages with carried state: frame sync + L&R
-    if cfg.perfect_sync:
+    sfm_perfect = cfg.perfect_sync or cfg.sfm_type == "PERFECT"
+    sff_perfect = cfg.perfect_sync or cfg.sff_type == "PERFECT"
+    if sfm_perfect and not (cfg.perfect_sync or cfg.stm_type == "PERFECT"):
+        raise ValueError(
+            "sfm_type=PERFECT requires stm_type=PERFECT (or perfect_sync): "
+            "the genie frame realign is calibrated against the genie "
+            "timing delay")
+    if sfm_perfect:
         # genie frame sync (fixed known symbol delay, flag always true,
         # Synchronizer_frame_perfect.cpp:26-53) + genie fine freq/phase
         # (known residual = 0, Synchronizer_freq_fine_perfect) — the fine
@@ -161,7 +172,12 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
             aligned = ext[:, known_delay:known_delay + L]
             descr = scrambler.pl_scramble(aligned, descramble=True)
             fs = fs._replace(delay_buf=frame, prev_sym=frame[:, -1:])
-            return (fs, lr), (descr,
+            if sff_perfect:
+                fine = descr      # genie fine: known residual freq/phase 0
+            else:
+                derot, _f_lr, lr = sync.lr_fine_freq(descr, cfg, lr)
+                fine, _f, _p = sync.phase_freq_fine(derot, cfg)
+            return (fs, lr), (fine,
                               jnp.full((B,), known_delay, jnp.int32),
                               jnp.ones((B,), bool))
     else:
@@ -179,12 +195,15 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
             aligned, delay, flag, metric, fs = sync.frame_sync_update(
                 frame, corr, cfg, fs)
             descr = scrambler.pl_scramble(aligned, descramble=True)
-            derot, f_lr, lr = sync.lr_fine_freq(descr, cfg, lr)
-            fine, _f, _p = sync.phase_freq_fine(derot, cfg)
+            if sff_perfect:
+                fine = descr      # genie fine: known residual freq/phase 0
+            else:
+                derot, _f_lr, lr = sync.lr_fine_freq(descr, cfg, lr)
+                fine, _f, _p = sync.phase_freq_fine(derot, cfg)
             return (fs, lr), (fine, delay, flag)
 
     frames_t = syms.transpose(1, 0, 2, 3)            # (F, B, L, 2)
-    if cfg.perfect_sync:
+    if sfm_perfect:
         (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
             per_frame, (state.fsync, state.lr), frames_t)
     else:

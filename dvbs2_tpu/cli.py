@@ -92,13 +92,29 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
     s.add_argument("--shp-osf", type=int, default=2)
 
     t = p.add_argument_group("stm/sfm/sfc/sff")
+    # per-stage type selectors (reference:
+    # Factory/Module/Synchronizer_timing/Synchronizer_timing.cpp:33-38,
+    # Synchronizer_frame.cpp:31-34, Synchronizer_freq_coarse.cpp:30-36,
+    # Synchronizer_freq_fine.cpp:30-34).  FAST == NORMAL here (one exact
+    # implementation per stage); default stm ULTRA (the reference's
+    # blocked amortization, FER-exact in this build — config.py note),
+    # so pass --stm-type FAST to mirror the reference default.
+    t.add_argument("--stm-type", default="ULTRA",
+                   choices=["FAST", "NORMAL", "ULTRA", "PERFECT"])
+    t.add_argument("--stm-hold-size", type=int, default=101)
     t.add_argument("--stm-df", type=float, default=math.sqrt(0.5))
     t.add_argument("--stm-nbw", type=float, default=5e-5)
     t.add_argument("--stm-dg", type=float, default=2.0)
+    t.add_argument("--sfm-type", default="FAST",
+                   choices=["FAST", "NORMAL", "PERFECT"])
     t.add_argument("--sfm-alpha", type=float, default=0.9)
     t.add_argument("--sfm-trigger", type=float, default=30.0)
+    t.add_argument("--sfc-type", default="NORMAL",
+                   choices=["NORMAL", "PERFECT"])
     t.add_argument("--sfc-df", type=float, default=math.sqrt(0.5))
     t.add_argument("--sfc-nbw", type=float, default=1e-4)
+    t.add_argument("--sff-type", default="NORMAL",
+                   choices=["NORMAL", "PERFECT"])
     t.add_argument("--sff-lr-alpha", type=float, default=0.999)
 
     r = p.add_argument_group("rad")
@@ -132,10 +148,14 @@ def config_from_args(args) -> Config:
         chn_max_delay=args.chn_max_delay,
         shp_grp_delay=args.shp_grp_delay, shp_rolloff=args.shp_rolloff,
         shp_osf=args.shp_osf,
+        stm_type=args.stm_type, stm_hold_size=args.stm_hold_size,
         stm_damping=args.stm_df, stm_norm_bandwidth=args.stm_nbw,
         stm_detector_gain=args.stm_dg,
+        sfm_type=args.sfm_type,
         sfm_alpha=args.sfm_alpha, sfm_trigger=args.sfm_trigger,
+        sfc_type=args.sfc_type,
         sfc_damping=args.sfc_df, sfc_norm_bandwidth=args.sfc_nbw,
+        sff_type=args.sff_type,
         sff_lr_alpha=args.sff_lr_alpha,
     )
 

@@ -101,6 +101,18 @@ class Config:
     stm_damping: float = math.sqrt(0.5)
     stm_norm_bandwidth: float = 5e-5
     stm_detector_gain: float = 2.0
+    # Per-stage type selectors mirroring the reference's factory dispatch
+    # (--sfm-type/--sfc-type/--sff-type, reference:
+    # Factory/Module/Synchronizer_frame/Synchronizer_frame.cpp:31-34 etc.).
+    # This build keeps ONE exact implementation per stage, so FAST ==
+    # NORMAL; PERFECT engages that stage's genie.  perfect_sync=True is
+    # shorthand for all-PERFECT.  Supported mixes: sfc/stm PERFECT are
+    # independent; sfm PERFECT requires stm PERFECT (the genie frame
+    # realign is calibrated against the genie timing delay); sff PERFECT
+    # is free-standing (known residual 0 bypasses the fine estimators).
+    sfm_type: str = "FAST"            # FAST | NORMAL | PERFECT
+    sfc_type: str = "NORMAL"          # NORMAL | PERFECT
+    sff_type: str = "NORMAL"          # NORMAL | PERFECT
     # frame sync (reference: Factory/Module/Synchronizer_frame.hpp:26-30)
     sfm_alpha: float = 0.9
     sfm_trigger: float = 30.0

@@ -178,9 +178,20 @@ class NcoState(NamedTuple):
 
 
 def quantize_nu(nu: float) -> float:
-    """The reference quantizes nu to 1e-6 so the 1e6 index wrap is
-    phase-continuous (Multiplier_sine_ccc_naive.cpp:14-22)."""
-    return float(np.floor(nu * 1e6) / 1e6)
+    """Quantize a mixer frequency to a 1e-6 multiple so the 1e6 index wrap
+    is phase-continuous (the reference quantizes too,
+    Multiplier_sine_ccc_naive.cpp:14-22).
+
+    ONE rule for every path: round to the NEAREST 1e-6 computed in f32 —
+    bit-identical to what ``cfo_mix`` applies to traced nu, so host-
+    prequantized and traced values always agree.  The reference floors in
+    double instead; for every 1e-6-multiple nu (all its shipped configs)
+    floor and round coincide, and for non-multiples nearest-1e-6 is the
+    deliberate single-rule deviation (pinned by
+    tests/test_filters.py::test_cfo_mix_traced_matches_static_nonmultiple_nu).
+    """
+    return float(np.round(np.float32(nu) * np.float32(1e6))
+                 / np.float32(1e6))
 
 
 def cfo_mix(x: jnp.ndarray, nu, state: Optional[NcoState] = None,
@@ -188,20 +199,17 @@ def cfo_mix(x: jnp.ndarray, nu, state: Optional[NcoState] = None,
     """Multiply a (B, N, 2) stream by e^{+j 2 pi nu n} (e^{-...} if conj),
     with the persistent sample index carried in ``state``.  ``nu`` may be a
     Python float (baked into the program) or a traced scalar (so one
-    compiled chain serves several CFO configs — tools/parity_full.py)."""
+    compiled chain serves several CFO configs — tools/parity_full.py).
+    Both kinds go through the same f32 nearest-1e-6 quantization (see
+    quantize_nu), so no caller-side prequantization is required."""
     from dvbs2_tpu.ops import cplx
     if state is None:
         state = NcoState(n=jnp.float32(0.0))
     if isinstance(nu, (int, float)):
-        nu_q = quantize_nu(nu)
+        # f32 so the omega computation below is bit-identical to the
+        # traced branch (XLA constant-folds it)
+        nu_q = jnp.float32(quantize_nu(nu))
     else:
-        # round (not floor) in f32: float32(0.05)*1e6 = 49999.996 would
-        # floor to 49999 while the reference's double-precision floor
-        # gives 50000; round matches it for every 1e-6-multiple nu.
-        # For nu that is NOT a 1e-6 multiple the two rules differ, so
-        # callers must host-quantize (quantize_nu) before tracing — the
-        # dyn paths do (chains/channel_chain.impair callers), pinned by
-        # tests/test_filters.py::test_cfo_mix_traced_matches_static_nonmultiple_nu.
         nu_q = jnp.round(jnp.asarray(nu, jnp.float32) * 1e6) / 1e6
     omega = 2.0 * np.pi * nu_q
     N = x.shape[1]

@@ -23,9 +23,14 @@ blocks (TPU grid iteration is sequential row-major).
 
 Reference behavior: Synchronizer_freq_coarse (imultiply DDS),
 Multiplier_AGC, Filter_FIR_ccr, Synchronizer_Gardner_ultra_osf2
-(src/common/Module/...); bit-level semantics match the XLA composition
-coarse_mix -> agc -> fir -> gardner_scan_blocked (mu0-from-NCO body,
-ops/sync.py), tested in tests/test_frontend_pallas.py.
+(src/common/Module/...).  Bit-level semantics match the XLA composition
+with the AGC scale computed on the PRE-mix block:
+pre_mix_agc_scale -> coarse_mix -> scale -> fir -> gardner_scan_blocked
+(mu0-from-NCO body, ops/sync.py) — pinned in
+tests/test_frontend_pallas.py.  Versus the production unfused chain
+(AGC after the mix) the scale differs by the tiny mean term only, which
+is FER-neutral (measured, tests/test_frontend_pallas.py full-chain
+A/B); it is NOT bit-equal to that composition.
 """
 from __future__ import annotations
 
@@ -58,8 +63,13 @@ def pick_hold(n: int, target: int) -> int:
     Returns 0 when none exists (e.g. odd frames-per-step gives
     N = 4 mod 8) — the chain then falls back to the unfused XLA path
     (chains/rx.py fuse guard).  Shares the divisor search with
-    ops/sync._pick_hold."""
-    return sync._pick_hold(n, target, lo=8, hi=2048, step=8)
+    ops/sync._pick_hold.
+
+    hi is bounded by VMEM: the banded FIR matrix block alone is
+    H*(H+HALO)*4 bytes (~4.5 MB at H=1024 with the 81-tap RRC), and the
+    kernel also holds the sample block, halo, and state rows in scratch —
+    H=2048 would put the matrix at ~17 MB, over the ~16 MB budget."""
+    return sync._pick_hold(n, target, lo=8, hi=1024, step=8)
 
 
 def _shift_down(x, s):
@@ -355,9 +365,18 @@ def frontend(x, cfg: Config, coarse: sync.CoarseState, mf_state,
     """
     B, N, _ = x.shape
     assert cfg.shp_osf == 2
+    if B % 8 != 0:
+        raise ValueError(
+            f"frontend(): stream batch B={B} must be a multiple of 8 "
+            "(lane tiling); use the unfused XLA path in chains/rx.py")
     taps_key = (cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
     taps = filters.rrc_taps(*taps_key)
     H = pick_hold(N, cfg.stm_hold_size)
+    if H == 0:
+        raise ValueError(
+            f"frontend(): no multiple-of-8 divisor of N={N} exists for "
+            "the kernel block height; use the unfused XLA path in "
+            "chains/rx.py (its fuse guard checks pick_hold)")
     kp, ki = sync.gardner_gains(cfg)
 
     # AGC scale on the raw block (|rot|=1 makes the variance identical up

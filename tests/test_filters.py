@@ -160,17 +160,26 @@ def test_variable_delay_runtime_settable():
 
 
 def test_cfo_mix_traced_matches_static_nonmultiple_nu():
-    """The traced cfo_mix path (f32 round) and the static path (double-
-    precision floor, the reference's Multiplier_sine set_nu rule) must
-    apply the SAME quantized nu — for nu that is not an exact 1e-6
-    multiple this requires host quantization before tracing, which is the
-    documented contract of the dyn paths (tools/parity_full.py)."""
+    """ONE quantization rule in both cfo_mix paths (nearest 1e-6 in f32):
+    a raw, un-prequantized traced nu must produce exactly the same mixer
+    output as the same nu passed statically, including for nu that is NOT
+    a 1e-6 multiple.  quantize_nu must also be the exact host mirror of
+    the traced rule (round-4 advisor: enforce one rule, don't document
+    two)."""
     import jax
 
-    for nu in (0.05, 0.0500007, 0.0499993, 0.1234567891):
-        nu_q = filters.quantize_nu(nu)
+    for nu in (0.05, 0.0500007, 0.0499993, 0.1234567891, 7.5e-7):
         x = jnp.stack([jnp.ones((1, 64)), jnp.zeros((1, 64))], axis=-1)
         y_static, _ = filters.cfo_mix(x, nu)
-        y_traced, _ = jax.jit(filters.cfo_mix)(x, jnp.float32(nu_q))
+        # raw traced value — no host prequantization required any more
+        y_traced, _ = jax.jit(filters.cfo_mix)(x, jnp.float32(nu))
         np.testing.assert_allclose(np.asarray(y_static),
                                    np.asarray(y_traced), atol=1e-6)
+        # host mirror is bit-identical to the traced rule
+        nu_q = filters.quantize_nu(nu)
+        tr = float(jnp.round(jnp.float32(nu) * 1e6) / 1e6)
+        assert nu_q == tr
+    # 1e-6 multiples (every shipped reference config) keep the reference's
+    # double-floor value at the f32 precision the mixer runs in
+    assert np.float32(filters.quantize_nu(0.05)) == np.float32(0.05)
+    assert filters.quantize_nu(0.0) == 0.0

@@ -179,12 +179,10 @@ def main():
     for name in args.configs.split(","):
         cfo, delay, ref = REFS_FULL[name]
         assert int(delay) == 4
-        # host-quantize the CFO exactly like the static path (the traced
-        # cfo_mix rounds in f32, which only matches the reference's
-        # double-precision floor for 1e-6-multiple nu — ops/filters.py)
-        from dvbs2_tpu.ops.filters import quantize_nu
-        dyn = (jnp.float32(quantize_nu(cfo)),
-               jnp.float32(delay - int(delay)))
+        # cfo_mix applies one f32 nearest-1e-6 rule to static and traced
+        # nu alike (ops/filters.py quantize_nu), so the raw CFO can be fed
+        # straight to the traced chain
+        dyn = (jnp.float32(cfo), jnp.float32(delay - int(delay)))
         print(f"== {name} (CFO={cfo}, delay={delay})", flush=True)
         # Saturated points (ref FER ~1) never pass the decoder's
         # syndrome exit (batch-global), so mixing them into the deep batch
