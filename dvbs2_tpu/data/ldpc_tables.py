@@ -229,7 +229,17 @@ def get_table(rate: str) -> LdpcTable:
     variant = variant or DEFAULT_VARIANT[base]
     variant, _, perm_spec = variant.partition("-p")
     degrees_used = degrees_fn()
-    if variant == "r1":
+    if variant.startswith("rc"):
+        # best-effort RECALLED Annex C candidate (round-5 experiment;
+        # LOW confidence, hybrid fill — see data/ldpc_annexc_recall.py)
+        from dvbs2_tpu.data.ldpc_annexc_recall import recalled_rows_3_5
+        if base != "3/5":
+            raise ValueError(
+                "no credible Annex C recall exists for rate 8/9 "
+                "(ldpc_annexc_recall.py documents the negative result)")
+        rows = recalled_rows_3_5(variant)
+        source = f"EN302307-AnnexC-recalled-lowconf-{variant}"
+    elif variant == "r1":
         seed = {"3/5": 0x35, "8/9": 0x89}[base]
         rows = _generate_ensemble_table(K, q, degrees_fn(), seed=seed)
         source = "ensemble-reconstruction-r1"

@@ -118,3 +118,16 @@ def test_group_perm_matches_static_permuted_table():
         np.testing.assert_allclose(np.asarray(post_dyn),
                                    np.asarray(post_static), atol=1e-4,
                                    err_msg=spec)
+
+
+def test_annexc_recall_candidates_load_and_reject_8_9():
+    """Round-5 recall experiment machinery (ANNEXC_RECALL.md): the 3/5
+    recalled candidates load as valid tables with the documented
+    provenance tag; rate 8/9 has no credible recall and must say so."""
+    for v in ("3/5@rc1", "3/5@rc2"):
+        t = get_table(v)
+        validate_table(t)
+        assert t.source.startswith("EN302307-AnnexC-recalled-lowconf")
+        assert t.n_groups == 27
+    with pytest.raises(ValueError, match="no credible Annex C recall"):
+        get_table("8/9@rc1")
