@@ -48,7 +48,15 @@ def rx_init(cfg: Config, batch: int) -> RxState:
         mf=filters.fir_init(len(taps), batch),
         gardner=sync.gardner_init(batch, cfg.shp_osf),
         timing_frac=jnp.zeros((batch, 3, 2), jnp.float32),
-        extract=sync.extract_init(batch, cap=4 * cfg.shp_osf * L),
+        # carry ring cap: a MULTIPLE OF L (so the underflow-path clip
+        # drops whole frames and keeps the stream frame-aligned) sized
+        # to 2 frames — in lock the carry holds ~1 symbol, and on a slip
+        # the step is invalidated + delay-bumped regardless of how much
+        # excess is kept (the reference keeps everything,
+        # Synchronizer_timing.hxx:262-304; any multiple-of-L cap is the
+        # same approximation).  Was 8 frames, which made the carry the
+        # dominant state-threading cost (~65 ms/step at bench geometry)
+        extract=sync.extract_init(batch, cap=2 * L),
         fsync=sync.frame_sync_init(batch, L),
         lr=sync.lr_init(batch),
         sample_idx=jnp.int32(0),
@@ -180,11 +188,20 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
             return (fs, lr), (fine,
                               jnp.full((B,), known_delay, jnp.int32),
                               jnp.ones((B,), bool))
+    if sfm_perfect:
+        frames_t = syms.transpose(1, 0, 2, 3)        # (F, B, L, 2)
+        (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
+            per_frame, (state.fsync, state.lr), frames_t)
+        fine = fine.transpose(1, 0, 2, 3)            # (B, F, L, 2)
+        delays = delays.T                            # (B, F)
+        flags = flags.T
     else:
-        # frame-sync correlation for ALL frames as one conv (the FIRs
-        # carry no per-frame state beyond the stream history; only the
-        # EMA/argmax/realign stay in the scan — bit-identical, and it
-        # removes F scanned convs from the hot path)
+        # frame-sync correlation for ALL frames as one banded-matmul FIR
+        # (the per-stage breakdown showed the correlator conv, not the
+        # per-frame scan, dominating this stage — see filters.fir_mm);
+        # the EMA/argmax/realign + descramble + fine stages then scan per
+        # frame (a batched realign variant was measured SLOWER: the
+        # B*F-row window moves cost more than the scan saves)
         corr_all, prev_sym, fir_st = sync.frame_sync_corr(
             syms.reshape(B, n_frames * L, 2), state.fsync)
         corr_all = corr_all.reshape(B, n_frames, L)
@@ -202,27 +219,26 @@ def rx_frames(x: jnp.ndarray, sigma_true, cfg: Config, state: RxState,
                 fine, _f, _p = sync.phase_freq_fine(derot, cfg)
             return (fs, lr), (fine, delay, flag)
 
-    frames_t = syms.transpose(1, 0, 2, 3)            # (F, B, L, 2)
-    if sfm_perfect:
-        (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
-            per_frame, (state.fsync, state.lr), frames_t)
-    else:
+        frames_t = syms.transpose(1, 0, 2, 3)        # (F, B, L, 2)
         fs0 = state.fsync._replace(prev_sym=prev_sym, fir_state=fir_st)
         (fs_state, lr_state), (fine, delays, flags) = jax.lax.scan(
             per_frame, (fs0, state.lr),
             (frames_t, corr_all.transpose(1, 0, 2)))
+        fine = fine.transpose(1, 0, 2, 3)            # (B, F, L, 2)
+        delays = delays.T
+        flags = flags.T
 
     new_state = RxState(coarse=coarse_state, mf=mf_state, gardner=gstate,
                         timing_frac=frac_state, extract=ex_state,
                         fsync=fs_state, lr=lr_state,
                         sample_idx=state.sample_idx + N_samp)
-    info = {"delay": delays.T, "flag": flags.T,
+    info = {"delay": delays, "flag": flags,
             "underflow": uf.astype(jnp.int32),
             "overflow": ovf.astype(jnp.int32)}
     if not decode:
         return None, info, new_state
 
-    fine = fine.transpose(1, 0, 2, 3).reshape(B * n_frames, L, 2)
+    fine = fine.reshape(B * n_frames, L, 2)
     # PLH/pilot removal + demod + decode (flat batch B*n_frames)
     xfec = framer.deframe(fine, cfg.modcod)
     if cfg.est_type == "PERFECT":

@@ -28,6 +28,6 @@ def tx_stream(bits: jnp.ndarray, cfg: Config,
     pl = tx_bb(bits.reshape(B * F, K), cfg)               # (B*F, L, 2)
     stream = pl.reshape(B, F * cfg.pl_frame_size, 2)
     taps = filters.rrc_taps(cfg.shp_rolloff, cfg.shp_osf, cfg.shp_grp_delay)
-    shaped, shp_state = filters.upfir(
+    shaped, shp_state = filters.upfir_mm(
         stream, taps, cfg.shp_osf, None if state is None else state.shp)
     return shaped, TxState(shp=shp_state)

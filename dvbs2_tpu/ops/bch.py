@@ -282,10 +282,21 @@ def _bm_chien(bits, synd, has_err, exp, log, N):
     C = C[:, :TP1]  # locator degree <= t when correctable
 
     # Chien search as one MXU matmul: locator bits x alpha-power planes.
+    # The matmul output stays bf16 (bit-plane counts <= (t+1)*14 = 182,
+    # exactly representable) and the mod-2 + plane reduction runs as ONE
+    # fused f32-free elementwise pass — the previous i32 round trip
+    # materialized the (F, N*14) product at 4 B/elem through several
+    # passes (~3.3 GB each at bench geometry, measured ~20 ms of the
+    # 35 ms BCH stage).
     cbit_w = jnp.asarray(1 << np.arange(BCH_M), jnp.int32)
     cbits = ((C[:, :, None] & cbit_w) > 0).reshape(F, TP1 * BCH_M)
-    val_bits = _gf2_matmul(cbits.astype(jnp.int8), _chien_matrix(N))
-    val_nz = jnp.sum(val_bits.reshape(F, N, BCH_M), axis=-1)
+    counts = jax.lax.dot_general(
+        cbits.astype(jnp.bfloat16),
+        jnp.asarray(_chien_matrix(N), jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.bfloat16)             # (F, N*14)
+    par = counts - 2.0 * jnp.floor(counts * 0.5)         # exact parity
+    val_nz = jnp.sum(par.reshape(F, N, BCH_M), axis=-1)
     err = (val_nz == 0) & has_err[:, None]
     n_roots = jnp.sum(err, axis=-1)
     ok = jnp.where(has_err, (n_roots == L) & (L <= BCH_T), True)

@@ -167,8 +167,12 @@ def _var_shift_left(x: jnp.ndarray, n: jnp.ndarray, max_n: int):
 # extraction can express within one step (each blocked-Gardner tail can
 # slip the pattern by at most one sample and the chatter is mean-
 # reverting; beyond this the stream is declared underflowed/slipped,
-# the same recovery path as a timing-loop underflow).
-EXTRACT_MAX_DRIFT = 8
+# the same recovery path as a timing-loop underflow).  The compaction
+# cost is (2R+1) full passes, so R is sized to the drift actually seen
+# in lock: slips accumulate d by 1 each, so R=4 tolerates 4 slips inside
+# ONE step (slip rate in lock ~1e-5/frame; out-of-spec patterns raise
+# `overflow` exactly as before — round-5 perf pass, was 8).
+EXTRACT_MAX_DRIFT = 4
 
 
 def extract_strobed_fast(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
@@ -256,7 +260,15 @@ def extract_strobed_fast(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
                          ((0, 0), (0, min(n_out, cap)), (0, 0))))
     over = jnp.maximum(count - n_out, 0)
     startS = jnp.maximum(n_out - count, 0)       # first kept stream symbol
-    strmB = _var_shift_left(out, startS, n_out)[:, :cap]
+    # the kept stream symbols out[startS + j], j < cap all lie in the
+    # STATIC window [max(n_out - cap, 0), n_out + cap) because
+    # count <= cap — so slice that small window first and variable-shift
+    # only it, instead of log-shifting the full (B, P, 2) workspace
+    # (bit_length(n_out) ~ 18 full passes, measured ~60 ms/step at bench
+    # geometry; the windowed form is ~100x less traffic)
+    lo = max(n_out - cap, 0)
+    win = out[:, lo:n_out + cap]
+    strmB = _var_shift_left(win, startS - lo, win.shape[1])[:, :cap]
     if strmB.shape[1] < cap:
         strmB = jnp.pad(strmB,
                         ((0, 0), (0, cap - strmB.shape[1]), (0, 0)))
@@ -890,10 +902,13 @@ def frame_sync_corr(x: jnp.ndarray, state: FrameSyncState):
     xprev = jnp.concatenate([state.prev_sym, x[:, :-1]], axis=1)
     z = cplx.mul_conj(xprev, x)
     zc = jnp.concatenate([state.fir_state, z], axis=1)
-    ps_sof, _ = filters.fir(zc, sof_taps[::-1].copy())
-    ps_plsc, _ = filters.fir(zc, plsc_taps[::-1].copy())
-    ps_sof = ps_sof[:, 88:]
-    ps_plsc = ps_plsc[:, 88:]
+    # both +-1/0 pattern FIRs in ONE banded matmul (the depthwise conv
+    # form ran ~200x off MXU peak and dominated the frame stage,
+    # measured round 5 — filters.fir_mm)
+    ps, _ = filters.fir_mm(
+        zc, np.stack([sof_taps[::-1], plsc_taps[::-1]]))
+    ps_sof = ps[0][:, 88:]
+    ps_plsc = ps[1][:, 88:]
     corr = jnp.maximum(jnp.sqrt(cplx.abs2(ps_sof + ps_plsc)),
                        jnp.sqrt(cplx.abs2(ps_sof - ps_plsc)))
     return corr, x[:, -1:], z[:, -88:]
@@ -918,12 +933,20 @@ def frame_sync_update(x: jnp.ndarray, corr: jnp.ndarray, cfg: Config,
     d = (L - delay) % L
     start = L - d                                           # (B,) in [0, L]
     ext = jnp.concatenate([state.delay_buf, x], axis=1)     # (B, 2L, 2)
-    # two-level shift: coarse C-sample blocks via one take_along gather
-    # (per-(row,block) indices move C-contiguous slices — fast, unlike
-    # per-element gathers), then the residual < C via log2(C) masked
-    # static rolls.  ~5x less roll traffic than log2(L) full-width
-    # passes; out[n] = ext[start + n] exactly (pinned by the CPU test
-    # against the direct gather).
+    aligned = realign_window(ext, start, L)
+    new_state = state._replace(corr_vec=corr_vec, delay_buf=x)
+    return aligned, delay, flag, max_corr, new_state
+
+
+def realign_window(ext: jnp.ndarray, start: jnp.ndarray, L: int):
+    """out[n] = ext[start_b + n] for n < L, start in [0, L], on a
+    (N, 2L, 2) window batch.  Two-level shift: coarse C-sample blocks via
+    one take_along gather (per-(row,block) indices move C-contiguous
+    slices — fast, unlike per-element gathers), then the residual < C via
+    log2(C) masked static rolls.  ~5x less roll traffic than log2(L)
+    full-width passes; exact vs the direct gather (pinned by the CPU
+    test)."""
+    B = ext.shape[0]
     C = 512
     nb_win = (L + C - 1) // C + 1              # window blocks (>= L + C)
     nb_tot = (2 * L + C - 1) // C + 1          # blocks covering all of ext
@@ -932,7 +955,23 @@ def frame_sync_update(x: jnp.ndarray, corr: jnp.ndarray, cfg: Config,
     coarse = start // C                        # (B,) block offset
     bidx = coarse[:, None] + jnp.arange(nb_win)[None, :]
     bidx = jnp.clip(bidx, 0, nb_tot - 1)
-    sel = jnp.take_along_axis(blk, bidx[:, :, None, None], axis=1)
+    if B <= 256:
+        # per-(row, block) take_along moves C-contiguous slices — fast at
+        # stream-sized batches
+        sel = jnp.take_along_axis(blk, bidx[:, :, None, None], axis=1)
+    else:
+        # at step-sized batches (B*F rows, the batched tracking path) the
+        # same gather lowers ~50x worse (measured ~50 ms at 4096 rows);
+        # select the blocks with an EXACT one-hot f32 batched matmul
+        # instead (one nonzero per output row => bit-exact: 1*x + 0*y
+        # accumulates to x even through the MXU's f32-as-bf16x3 path)
+        onehot = (bidx[:, :, None] ==
+                  jnp.arange(nb_tot)[None, None, :]).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            onehot, blk.reshape(B, nb_tot, C * 2),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        sel = sel.reshape(B, nb_win, C, 2)
     win = sel.reshape(B, nb_win * C, 2)        # ext[coarse*C : ...]
     fine = start - coarse * C                  # (B,) in [0, C)
     for bit in range(int(C - 1).bit_length()):
@@ -940,9 +979,7 @@ def frame_sync_update(x: jnp.ndarray, corr: jnp.ndarray, cfg: Config,
         rolled = jnp.concatenate([win[:, sh:], win[:, :sh]], axis=1)
         take = ((fine >> bit) & 1) > 0
         win = jnp.where(take[:, None, None], rolled, win)
-    aligned = win[:, :L]
-    new_state = state._replace(corr_vec=corr_vec, delay_buf=x)
-    return aligned, delay, flag, max_corr, new_state
+    return win[:, :L]
 
 
 def frame_sync(x: jnp.ndarray, cfg: Config, state: FrameSyncState):
@@ -981,32 +1018,53 @@ def lr_init(batch: int) -> LrState:
     return LrState(r_acc=jnp.zeros((batch, 2), jnp.float32))
 
 
-def lr_fine_freq(x: jnp.ndarray, cfg: Config, state: LrState):
-    """Luise&Reggiannini residual CFO estimation + frame derotation on a
-    descrambled (B, L, 2) PL frame. Returns (y, f_hat (B,), state)."""
-    B, L, _ = x.shape
-    Lp, Lp2 = 18, 9
-    starts = pilot_starts(cfg.modcod)
+_LR_LP, _LR_LP2 = 18, 9
+
+
+def lr_acc(x: jnp.ndarray, modcod: str) -> jnp.ndarray:
+    """Per-frame L&R pilot autocorrelation sum for a (N, L, 2) frame
+    batch -> (N, 2).  Stateless — the EMA and derotation live in
+    lr_fine_freq / frame_fine_track."""
+    N = x.shape[0]
+    Lp, Lp2 = _LR_LP, _LR_LP2
+    starts = pilot_starts(modcod)
     # z_i = symbol * conj(pilot) * sqrt(2): (re+im, im-re)
     zs = []
     for s in starts:
         blk = x[:, s:s + Lp]
         zs.append(jnp.stack([blk[..., 0] + blk[..., 1],
                              blk[..., 1] - blk[..., 0]], axis=-1))
-    z = jnp.stack(zs, axis=1)                               # (B, P, Lp, 2)
-    acc = jnp.zeros((B, 2), jnp.float32)
+    z = jnp.stack(zs, axis=1)                               # (N, P, Lp, 2)
+    acc = jnp.zeros((N, 2), jnp.float32)
     for m in range(1, Lp2 + 1):
         a, b = z[:, :, m:], z[:, :, :-m]
         re = jnp.sum(a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1], axis=(1, 2))
         im = jnp.sum(a[..., 1] * b[..., 0] - a[..., 0] * b[..., 1], axis=(1, 2))
         acc = acc + jnp.stack([re, im], axis=-1) / (2.0 * (Lp - m))
-    r_acc = cfg.sff_lr_alpha * state.r_acc + (1 - cfg.sff_lr_alpha) * acc
-    f_hat = jnp.arctan2(r_acc[:, 1], r_acc[:, 0]) / ((Lp2 + 1) * np.pi)
-    # derotate: y_n = x_n * e^{-j pi f_hat * 2n}  (theta over symbol index)
+    return acc
+
+
+def lr_f_hat(r_acc: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arctan2(r_acc[..., 1], r_acc[..., 0]) / ((_LR_LP2 + 1) * np.pi)
+
+
+def lr_apply(x: jnp.ndarray, f_hat: jnp.ndarray) -> jnp.ndarray:
+    """Derotate a (N, L, 2) frame batch by per-frame f_hat (N,):
+    y_n = x_n * e^{-j pi f_hat 2n} (theta over symbol index)."""
+    L = x.shape[1]
     n = jnp.arange(L, dtype=jnp.float32)
     theta = np.pi * f_hat[:, None] * (2.0 * n)[None, :]
     rot = jnp.stack([jnp.cos(theta), -jnp.sin(theta)], axis=-1)
-    return cplx.mul(x, rot), f_hat, LrState(r_acc=r_acc)
+    return cplx.mul(x, rot)
+
+
+def lr_fine_freq(x: jnp.ndarray, cfg: Config, state: LrState):
+    """Luise&Reggiannini residual CFO estimation + frame derotation on a
+    descrambled (B, L, 2) PL frame. Returns (y, f_hat (B,), state)."""
+    acc = lr_acc(x, cfg.modcod)
+    r_acc = cfg.sff_lr_alpha * state.r_acc + (1 - cfg.sff_lr_alpha) * acc
+    f_hat = lr_f_hat(r_acc)
+    return lr_apply(x, f_hat), f_hat, LrState(r_acc=r_acc)
 
 
 # ---------------------------------------------------------------------------

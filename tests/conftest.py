@@ -23,6 +23,16 @@ import jax  # noqa: E402
 # always run on the virtual 8-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the fast tier is compile-dominated (round-4
+# accounting: ~7 min single-core LLVM across the chain programs), so warm
+# reruns skip most of it.  Scoped to a tests-only directory (gitignored);
+# only programs over 1 s of compile are persisted.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                          ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

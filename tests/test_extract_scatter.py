@@ -104,3 +104,18 @@ def test_no_scatter_hints_in_sync_source():
         "scatter hint reintroduced in ops/sync.py — see round-4 NaN pitfall"
     assert not re.search(r"unique_indices\s*=", src), \
         "scatter hint reintroduced in ops/sync.py — see round-4 NaN pitfall"
+
+
+def test_realign_window_onehot_branch_matches_gather():
+    """realign_window's large-batch one-hot-matmul block selection must be
+    bit-exact vs the small-batch take_along branch and the direct index
+    oracle (the matmul multiplies real f32 data by exact 0/1)."""
+    rng = np.random.RandomState(7)
+    L = 700
+    for rows in (8, 300):     # crosses the B<=256 branch point
+        ext = rng.randn(rows, 2 * L, 2).astype(np.float32)
+        start = rng.randint(0, L + 1, rows).astype(np.int32)
+        out = sync.realign_window(jnp.asarray(ext), jnp.asarray(start), L)
+        oracle = np.stack([ext[b, start[b]:start[b] + L] for b in range(rows)])
+        np.testing.assert_array_equal(np.asarray(out), oracle,
+                                      err_msg=f"rows={rows}")

@@ -183,3 +183,53 @@ def test_cfo_mix_traced_matches_static_nonmultiple_nu():
     # double-floor value at the f32 precision the mixer runs in
     assert np.float32(filters.quantize_nu(0.05)) == np.float32(0.05)
     assert filters.quantize_nu(0.0) == 0.0
+
+
+def test_fir_mm_matches_fir():
+    """The banded-matmul multi-filter FIR (MXU form) must match n_filt
+    independent fir() calls to f32 round-off, including the carried
+    streaming state across chained blocks."""
+    rng = np.random.RandomState(9)
+    taps1 = rng.randn(89).astype(np.float32)
+    taps2 = (rng.randint(0, 3, 89) - 1).astype(np.float32)
+    x1 = jnp.asarray(rng.randn(3, 700, 2), jnp.float32)
+    x2 = jnp.asarray(rng.randn(3, 700, 2), jnp.float32)
+
+    y_mm, st_mm = filters.fir_mm(x1, np.stack([taps1, taps2]))
+    y1, st1 = filters.fir(x1, taps1)
+    y2, _ = filters.fir(x1, taps2)
+    np.testing.assert_allclose(np.asarray(y_mm[0]), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(y_mm[1]), np.asarray(y2),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_mm), np.asarray(st1),
+                               atol=0, rtol=0)
+    # streaming continuation
+    y_mm2, _ = filters.fir_mm(x2, np.stack([taps1, taps2]), st_mm)
+    y1b, _ = filters.fir(x2, taps1, st1)
+    np.testing.assert_allclose(np.asarray(y_mm2[0]), np.asarray(y1b),
+                               atol=2e-4, rtol=1e-4)
+    # short blocks (N < block) and single filter
+    xs = jnp.asarray(rng.randn(2, 40, 2), jnp.float32)
+    ys, _ = filters.fir_mm(xs, taps1[None])
+    yr, _ = filters.fir(xs, taps1)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(yr),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_upfir_mm_matches_upfir():
+    """The polyphase MXU shaping filter is a drop-in for upfir: same
+    output to f32 round-off, same carried state, across chained blocks."""
+    rng = np.random.RandomState(12)
+    taps = filters.rrc_taps()
+    x1 = jnp.asarray(rng.randn(2, 150, 2), jnp.float32)
+    x2 = jnp.asarray(rng.randn(2, 150, 2), jnp.float32)
+    a1, s_a = filters.upfir(x1, taps, 2)
+    b1, s_b = filters.upfir_mm(x1, taps, 2)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+    a2, _ = filters.upfir(x2, taps, 2, s_a)
+    b2, _ = filters.upfir_mm(x2, taps, 2, s_b)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                               atol=2e-5, rtol=1e-4)

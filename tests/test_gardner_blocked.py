@@ -148,19 +148,27 @@ def test_extract_fast_matches_scatter():
     B, N = 4, 4096
     for trial, (n_out, cap) in enumerate(
             [(1900, 512), (1900, 512), (2048, 4096), (2000, 2048)]):
-        # build per-stream alternating strobes with injected slips
+        # build per-stream alternating strobes with injected slips whose
+        # NET drift stays within the documented EXTRACT_MAX_DRIFT bound
+        # (the fast path's contract; denser random slips walk past it
+        # and are flagged, which test_extract_fast_flags_excess_drift
+        # covers separately)
+        R = sync.EXTRACT_MAX_DRIFT
         s = np.zeros((B, N), np.int8)
         for b in range(B):
             pos = b % 2
             j = pos
+            drift = 0
             while j < N:
                 s[b, j] = 1
                 step = 2
                 r = rng.rand()
-                if r < 0.01:
+                if r < 0.01 and drift > -(R - 1):
                     step = 3        # missed strobe (3-gap)
-                elif r < 0.02:
+                    drift -= 1
+                elif r < 0.02 and drift < R - 1:
                     step = 1        # double strobe
+                    drift += 1
                 j += step
         y = rng.randn(B, N, 2).astype(np.float32)
         count0 = np.array([0, 3, 57, cap - 2][:B], np.int32)
