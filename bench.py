@@ -76,12 +76,13 @@ def bench_full(salt: int, implem: str = "NMS", n_ite: int = 10) -> float:
     from dvbs2_tpu.config import Config
     from dvbs2_tpu.chains import txrx
 
-    # geometry tuned on the TPU (tools/probe_geom.py round 3; round 4's
-    # fused front-end + dense extraction moved the bench 26.1 -> 147.4
-    # Mb/s at the same geometry — tools/probe_parts4.py for the stage
-    # breakdown)
+    # geometry re-tuned on the TPU each round (round 5: after the
+    # fir_mm/extract/BCH stage fixes the step got cheaper per frame, so
+    # deeper steps amortize the fixed costs further — F swept 32->88,
+    # 306 Mb/s at F=88; F=96 exceeds HBM by ~0.3 GB.  History: round 3
+    # tools/probe_geom.py picked 128x32; round-5 sweep in ROOFLINE.md)
     B = int(os.environ.get("BENCH_FULL_STREAMS", "128"))
-    F = int(os.environ.get("BENCH_FULL_FRAMES", "32"))
+    F = int(os.environ.get("BENCH_FULL_FRAMES", "88"))
     hold = int(os.environ.get("BENCH_FULL_HOLD", "404"))
     cfg = Config(modcod="QPSK-S_8/9", ldpc_implem=implem, ldpc_nite=n_ite,
                  chn_max_freq_shift=0.05, chn_max_delay=4.5,

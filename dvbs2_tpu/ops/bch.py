@@ -290,9 +290,12 @@ def _bm_chien(bits, synd, has_err, exp, log, N):
     # 35 ms BCH stage).
     cbit_w = jnp.asarray(1 << np.arange(BCH_M), jnp.int32)
     cbits = ((C[:, :, None] & cbit_w) > 0).reshape(F, TP1 * BCH_M)
+    # keep the embedded constant int8 (36 MB) and cast in-program — a
+    # bf16 literal would double the program upload, which the tunneled
+    # remote-compile endpoint rejects past ~100 MB (HTTP 413)
     counts = jax.lax.dot_general(
         cbits.astype(jnp.bfloat16),
-        jnp.asarray(_chien_matrix(N), jnp.bfloat16),
+        jnp.asarray(_chien_matrix(N)).astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.bfloat16)             # (F, N*14)
     par = counts - 2.0 * jnp.floor(counts * 0.5)         # exact parity
