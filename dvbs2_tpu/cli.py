@@ -118,6 +118,27 @@ def build_parser(prog: str) -> argparse.ArgumentParser:
     t.add_argument("--sff-lr-alpha", type=float, default=0.999)
 
     r = p.add_argument_group("rad")
+    # factory::Radio dispatch (reference: Factory/Module/Radio/Radio.cpp:
+    # 27-51,116-126). The reference defaults to USRP; this build defaults
+    # to USER_BIN because TPU hosts have no UHD hardware — --rad-type USRP
+    # parses the full parameter set and fails at open with a clear message.
+    r.add_argument("--rad-type", default="USER_BIN",
+                   choices=["USER_BIN", "USRP", "NO"])
+    r.add_argument("--rad-clk-rate", type=float, default=33.333333e6)
+    r.add_argument("--rad-rx-rate", type=float, default=None,
+                   help="setting it enables the USRP RX direction "
+                        "(reference: Radio.cpp)")
+    r.add_argument("--rad-rx-freq", type=float, default=1090e6)
+    r.add_argument("--rad-rx-gain", type=float, default=10.0)
+    r.add_argument("--rad-rx-subdev-spec", default="")
+    r.add_argument("--rad-rx-ant", default="RX2")
+    r.add_argument("--rad-tx-rate", type=float, default=None)
+    r.add_argument("--rad-tx-freq", type=float, default=1090e6)
+    r.add_argument("--rad-tx-gain", type=float, default=10.0)
+    r.add_argument("--rad-tx-subdev-spec", default="")
+    r.add_argument("--rad-tx-ant", default="TX/RX")
+    r.add_argument("--rad-ip-addr", default="192.168.10.2")
+    r.add_argument("--rad-usrp-type", default="")
     r.add_argument("--rad-rx-file-path", default=None)
     r.add_argument("--rad-threaded", action="store_true",
                    help="dedicated native receive thread + preallocated "

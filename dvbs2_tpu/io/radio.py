@@ -42,10 +42,82 @@ class NativeThreadedRadio:
         self._stream.close()
 
 
+class RadioNO:
+    """Null radio — no-op send, zero-block receive (reference:
+    src/common/Module/Radio/Radio_NO/Radio_NO.cpp:19-28)."""
+
+    def receive(self, n_samples: int) -> np.ndarray:
+        return np.zeros((n_samples, 2), np.float32)
+
+    def send(self, block: np.ndarray) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+#: USRP parameter surface of the reference's factory::Radio
+#: (Factory/Module/Radio/Radio.cpp:27-51), with the reference defaults.
+USRP_DEFAULTS = dict(
+    rad_clk_rate=33.333333e6, rad_rx_rate=None, rad_rx_freq=1090e6,
+    rad_rx_gain=10.0, rad_rx_subdev_spec="", rad_rx_ant="RX2",
+    rad_tx_rate=None, rad_tx_freq=1090e6, rad_tx_gain=10.0,
+    rad_tx_subdev_spec="", rad_tx_ant="TX/RX",
+    rad_ip_addr="192.168.10.2", rad_usrp_type="")
+
+
+class RadioUSRP:
+    """UHD-backed hardware radio surface (reference:
+    src/common/Module/Radio/Radio_USRP/Radio_USRP.cpp:12-180 — multi_usrp
+    with optional dedicated TX/RX threads + preallocated FIFOs).
+
+    This class carries the complete, validated USRP parameter set so that
+    reference ``--rad-type USRP`` command lines translate mechanically;
+    actually opening the stream requires the UHD Python bindings and
+    attached hardware, neither of which exists in a TPU pod environment —
+    construction raises a clear RuntimeError in that case instead of a
+    deep import failure.  Setting rx/tx rate enables that direction, like
+    the reference (Radio.cpp: rx enabled iff --rad-rx-rate given).
+    """
+
+    def __init__(self, **params):
+        unknown = set(params) - set(USRP_DEFAULTS)
+        if unknown:
+            raise ValueError(f"unknown USRP radio params: {sorted(unknown)}")
+        self.params = {**USRP_DEFAULTS, **params}
+        self.rx_enabled = self.params["rad_rx_rate"] is not None
+        self.tx_enabled = self.params["rad_tx_rate"] is not None
+        try:
+            import uhd  # noqa: F401  (not bundled: hardware-only dependency)
+        except ImportError as e:
+            raise RuntimeError(
+                "--rad-type USRP needs the UHD Python bindings and attached "
+                "USRP hardware (reference: Radio_USRP.cpp:12-47); neither is "
+                "available on this host. Use --rad-type USER_BIN with "
+                "--rad-rx-file-path/--rad-tx-file-path for file-based IQ, "
+                f"or NO for a null radio. (import uhd failed: {e})"
+            ) from e
+        raise RuntimeError("USRP stream bring-up not implemented: no "
+                           "hardware in the supported environments")
+
+
+def _usrp_params_from_args(args) -> dict:
+    return {k: getattr(args, k) for k in USRP_DEFAULTS
+            if getattr(args, k, None) is not None or k in
+            ("rad_rx_rate", "rad_tx_rate")}
+
+
 def open_rx_radio(args):
-    """RX radio per the rad-* argument group: the native threaded ring
-    when --rad-threaded (falling back to FileRadio if the native
-    toolchain is unavailable), else the plain file reader."""
+    """RX radio per the rad-* argument group (the factory::Radio dispatch,
+    reference: Factory/Module/Radio/Radio.cpp:116-126): USER_BIN reads the
+    IQ file — through the native threaded ring when --rad-threaded
+    (falling back to FileRadio if the native toolchain is unavailable) —
+    USRP opens hardware (gated), NO yields the null radio."""
+    rad_type = getattr(args, "rad_type", "USER_BIN")
+    if rad_type == "NO":
+        return RadioNO()
+    if rad_type == "USRP":
+        return RadioUSRP(**_usrp_params_from_args(args))
     loop = not args.rad_rx_no_loop
     if getattr(args, "rad_threaded", False):
         try:
@@ -54,6 +126,16 @@ def open_rx_radio(args):
         except Exception as e:
             print(f"# rad-threaded unavailable ({e}); using FileRadio")
     return FileRadio(args.rad_rx_file_path, "r", loop=loop)
+
+
+def open_tx_radio(args):
+    """TX-direction factory dispatch (send path of the same factory)."""
+    rad_type = getattr(args, "rad_type", "USER_BIN")
+    if rad_type == "NO":
+        return RadioNO()
+    if rad_type == "USRP":
+        return RadioUSRP(**_usrp_params_from_args(args))
+    return FileRadio(args.rad_tx_file_path, "w")
 
 
 class FileRadio:

@@ -11,7 +11,7 @@ import numpy as np
 
 from dvbs2_tpu import cli
 from dvbs2_tpu.chains import tx as txc
-from dvbs2_tpu.io.radio import EndOfStream, FileRadio
+from dvbs2_tpu.io.radio import EndOfStream, open_tx_radio
 from dvbs2_tpu.io.sources import build_source
 
 
@@ -20,8 +20,9 @@ def main(argv=None):
     p.add_argument("--tx-frames", type=int, default=64)
     args = p.parse_args(argv)
     cfg = cli.config_from_args(args)
-    assert args.rad_tx_file_path, "--rad-tx-file-path required"
-    radio = FileRadio(args.rad_tx_file_path, "w")
+    assert args.rad_tx_file_path or args.rad_type != "USER_BIN", \
+        "--rad-tx-file-path required for --rad-type USER_BIN"
+    radio = open_tx_radio(args)
     src = build_source(args.src_type, cfg.K_bch, args.src_path,
                        loop=not args.src_no_loop)
     key = jax.random.key(args.seed)
