@@ -175,6 +175,29 @@ def _var_shift_left(x: jnp.ndarray, n: jnp.ndarray, max_n: int):
 EXTRACT_MAX_DRIFT = 4
 
 
+def _cumsum_mxu(x: jnp.ndarray, G: int = 512) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 1 as a G-blocked MXU matmul:
+    inner prefix = x @ tril-ones (one small matmul per block), outer
+    prefix over the G-block totals (an array G-times smaller), broadcast
+    add.  The native jnp.cumsum lowers to ~log2(n) full-array passes
+    (measured 2.2x slower at bench geometry, tools/probe_cumsum.py);
+    exact for int inputs while block totals stay < 2^24 (here <= 2G)."""
+    Bsh = x.shape[:-1]
+    Pn = x.shape[-1]
+    if Pn <= 2 * G:
+        return jnp.cumsum(x, axis=-1)
+    nb = -(-Pn // G)
+    xp = jnp.pad(x.reshape(-1, Pn), ((0, 0), (0, nb * G - Pn)))
+    xb = xp.reshape(-1, nb, G).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((G, G), jnp.float32))
+    inner = jnp.einsum("bng,hg->bnh", xb, tri,
+                       preferred_element_type=jnp.float32)
+    sums = inner[:, :, -1]
+    off = jnp.cumsum(sums, axis=1) - sums
+    out = (inner + off[:, :, None]).reshape(-1, nb * G)[:, :Pn]
+    return out.reshape(Bsh + (Pn,)).astype(x.dtype)
+
+
 def extract_strobed_fast(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
                          state: ExtractState):
     """Tracking-mode strobed-symbol compaction without scatters/gathers.
@@ -196,7 +219,7 @@ def extract_strobed_fast(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
     s2 = strobe.reshape(B, P, 2).astype(jnp.int32)
     c2 = s2[:, :, 0] + s2[:, :, 1]                    # (B, P) in 0..2
     yp = y.reshape(B, P, 2, 2)
-    C = jnp.cumsum(c2, axis=1)                        # inclusive counts
+    C = _cumsum_mxu(c2)                               # inclusive counts
     base = C - c2                                     # first slot of pair p
     p_idx = jnp.arange(P, dtype=jnp.int32)[None, :]
     d = base - p_idx                                  # (B, P) drift
@@ -210,7 +233,12 @@ def extract_strobed_fast(y: jnp.ndarray, strobe: jnp.ndarray, n_out: int,
 
     # place pair p's symbols at relative slots p + d[p] (and +1 for the
     # second) by summing (2R+1) masked static shifts — slots are a
-    # contiguous enumeration, so each receives exactly one contribution
+    # contiguous enumeration, so each receives exactly one contribution.
+    # (Measured round 5, tools/probe_extract.py: each term materializes
+    # the accumulator — XLA does not fuse the multi-term sum even in a
+    # concat-free pure-slice form, so the cost is ~1.7 ms/term at bench
+    # geometry plus ~8 ms of v1/v2 construction; the known next step is
+    # a VMEM-resident Pallas compaction, ROOFLINE.md §5.)
     out = jnp.zeros((B, P + R + 1, 2), jnp.float32)
     padv1 = jnp.pad(v1, ((0, 0), (0, R + 1), (0, 0)))
     padv2 = jnp.pad(v2, ((0, 0), (0, R + 1), (0, 0)))
