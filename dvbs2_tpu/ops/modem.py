@@ -60,6 +60,16 @@ def demodulate(y: jnp.ndarray, sigma: jnp.ndarray, mod: str,
     """
     cstl = jnp.asarray(cplx.from_np(get_constellation(mod)))   # (2^bps, 2)
     bps = _BPS[mod]
+    if mod == "QPSK" and max_star:
+        # Gray QPSK decouples per axis and the 2-point logsumexp ratio is
+        # exactly linear: LLR_b = 2*a*y_axis/sigma^2 with a = |Re c_0|
+        # (bit0 <- re, bit1 <- im per the mapper's index order).  Equal to
+        # the generic path to f32 roundoff (~1e-6; pinned in
+        # tests/test_modem.py) at ~6x less work — the logsumexp form was
+        # ~12 ms of the bench step (tools/probe_decode.py).
+        a = jnp.abs(cstl[0, 0])
+        g = (2.0 * a) / (sigma * sigma)
+        return (y * g[..., None]).reshape(y.shape[:-2] + (-1,))
     masks = jnp.asarray(_bit_masks(bps), dtype=bool)           # (bps, 2^bps)
     inv_2s2 = 1.0 / (2.0 * sigma * sigma)
     # metric m_c = -|y - c|^2 / (2 sigma^2): (..., N_sym, 2^bps)

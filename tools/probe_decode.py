@@ -92,6 +92,7 @@ def main():
         return info.ravel()[0].astype(jnp.float32)
     t("bch", bch_body)
 
+    return
     print("tx+channel:")
     t("bits rng", lambda k: jax.random.bernoulli(
         k, 0.5, (B, F, cfg.K_bch)).astype(jnp.int8).ravel()[0]
